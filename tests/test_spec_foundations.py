@@ -1,0 +1,144 @@
+"""Known-answer tests for the bit-exact spec layer.
+
+Vectors come from public standards: RFC 9496 (ristretto255), the merlin
+crate's published transcript test vector, and hashlib cross-checks.
+"""
+
+import hashlib
+
+from rofl_tpu.spec import field as F
+from rofl_tpu.spec import scalar as S
+from rofl_tpu.spec import ristretto as R
+from rofl_tpu.spec.keccak import keccak_f1600, sha3_256
+from rofl_tpu.spec.merlin import Transcript
+
+
+# RFC 9496 Appendix A.1: encodings of B, 2B, ..., 15B.
+SMALL_MULTIPLES = [
+    "0000000000000000000000000000000000000000000000000000000000000000",
+    "e2f2ae0a6abc4e71a884a961c500515f58e30b6aa582dd8db6a65945e08d2d76",
+    "6a493210f7499cd17fecb510ae0cea23a110e8d5b901f8acadd3095c73a3b919",
+    "94741f5d5d52755ece4f23f044ee27d5d1ea1e2bd196b462166b16152a9d0259",
+    "da80862773358b466ffadfe0b3293ab3d9fd53c5ea6c955358f568322daf6a57",
+    "e882b131016b52c1d3337080187cf768423efccbb517bb495ab812c4160ff44e",
+    "f64746d3c92b13050ed8d80236a7f0007c3b3f962f5ba793d19a601ebb1df403",
+    "44f53520926ec81fbd5a387845beb7df85a96a24ece18738bdcfa6a7822a176d",
+    "903293d8f2287ebe10e2374dc1a53e0bc887e592699f02d077d5263cdd55601c",
+    "02622ace8f7303a31cafc63f8fc48fdc16e1c8c8d234b2f0d6685282a9076031",
+    "20706fd788b2720a1ed2a5dad4952b01f413bcf0e7564de8cdc816689e2db95f",
+    "bce83f8ba5dd2fa572864c24ba1810f9522bc6004afe95877ac73241cafdab42",
+    "e4549ee16b9aa03099ca208c67adafcafa4c3f3e4e5303de6026e3ca8ff84460",
+    "aa52e000df2e16f55fb1032fc33bc42742dad6bd5a8fc0be0167436c5948501f",
+    "46376b80f409b29dc2b5f6f0c52591990896e5716f41477cd30085ab7f10301e",
+    "e0c418f7c8d9c4cdd7395b93ea124f3ad99021bb681dfc3302a9d99a2e53e64e",
+]
+
+
+def test_keccak_permutation_vs_hashlib():
+    for msg in [b"", b"abc", b"x" * 200, bytes(range(137))]:
+        assert sha3_256(msg) == hashlib.sha3_256(msg).digest()
+
+
+def test_field_sqrt_ratio():
+    # squares round-trip
+    for a in [2, 3, 5, 12345, F.P - 7]:
+        sq = F.fsq(a)
+        ok, r = F.sqrt_ratio_m1(sq, 1)
+        assert ok
+        assert r == F.fabs(a)
+    # known non-square: 2 is a non-square mod p (p ≡ 5 mod 8)
+    ok, _ = F.sqrt_ratio_m1(2, 1)
+    assert not ok
+
+
+def test_basepoint_encoding():
+    assert R.BASEPOINT.compress() == R.BASEPOINT_COMPRESSED
+    assert R.decompress(R.BASEPOINT_COMPRESSED) == R.BASEPOINT
+
+
+def test_small_multiples():
+    acc = R.identity()
+    for i, expect in enumerate(SMALL_MULTIPLES):
+        assert acc.compress().hex() == expect, f"multiple {i}"
+        pt = R.decompress(bytes.fromhex(expect))
+        assert pt is not None and pt == acc
+        acc = acc + R.BASEPOINT
+
+
+def test_double_matches_add():
+    p = R.BASEPOINT
+    for _ in range(10):
+        assert (p + p).compress() == p.double().compress()
+        p = p + R.BASEPOINT
+
+
+def test_scalar_mul():
+    assert R.BASEPOINT.scalar_mul(5).compress().hex() == SMALL_MULTIPLES[5]
+    # l * B == identity
+    assert R.BASEPOINT.scalar_mul(S.L).is_identity()
+    # (l - 1) * B == -B
+    assert R.BASEPOINT.scalar_mul(S.L - 1) == -R.BASEPOINT
+
+
+# RFC 9496 A.3 hash-to-group vectors (SHA-512, from dalek's ristretto.rs tests)
+def test_hash_to_group_sha512():
+    labels = [
+        "Ristretto is traditionally a short shot of espresso coffee",
+        "made with the normal amount of ground coffee but extracted with",
+        "about half the amount of water in the same amount of time",
+        "by using a finer grind.",
+        "This produces a concentrated shot of coffee per volume.",
+        "Just pulling a normal shot short will produce a weaker shot",
+        "and is not a Ristretto as some believe.",
+    ]
+    encoded = [
+        "3066f82a1a747d45120d1740f14358531a8f04bbffe6a819f86dfe50f44a0a46",
+        "f26e5b6f7d362d2d2a94c5d0e7602cb4773c95a2e5c31a64f133189fa76ed61b",
+        "006ccd2a9e6867e6a2c5cea83d3302cc9de128dd2a9a57dd8ee7b9d7ffe02826",
+        "f8f0c87cf237953c5890aec3998169005dae3eca1fbb04548c635953c817f92a",
+        "ae81e7dedf20a497e10c304a765c1767a42d6e06029758d2d7e8ef7cc4c41179",
+        "e2705652ff9f5e44d3e841bf1c251cf7dddb77d140870d1ab2ed64f1a9ce8628",
+        "80bd07262511cdde4863f8a7434cef696750681cb9510eea557088f76d9e5065",
+    ]
+    for label, expect in zip(labels, encoded):
+        pt = R.hash_from_bytes_sha512(label.encode())
+        assert pt.compress().hex() == expect, label
+
+
+def test_merlin_transcript_vector():
+    # From merlin's tests::equivalence_simple
+    t = Transcript(b"test protocol")
+    t.append_message(b"some label", b"some data")
+    challenge = t.challenge_bytes(b"challenge", 32)
+    assert (
+        challenge.hex()
+        == "d5a21972d0d5fe320c0d263fac7fffb8145aa640af6e9bca177c03c7efcf0615"
+    )
+
+
+def test_merlin_transcript_complex():
+    # Mirrors merlin's tests::equivalence_complex structure (multi-block
+    # absorbs, interleaved PRF). The authoritative cross-implementation check
+    # is test_merlin_transcript_vector above; this pins the long-input code
+    # path against regressions (value computed by this implementation).
+    t = Transcript(b"test protocol")
+    t.append_message(b"step1", b"some data")
+    data = bytes([99] * 1024)
+    chl_bytes = b""
+    for _ in range(32):
+        chl_bytes = t.challenge_bytes(b"challenge", 32)
+        t.append_message(b"bigdata", data)
+        t.append_message(b"challengedata", chl_bytes)
+    assert (
+        chl_bytes.hex()
+        == "a8c933f54fae76e3f9bea93648c1308e7dfa2152dd51674ff3ca438351cf003c"
+    )
+
+
+def test_scalar_field():
+    assert S.from_bytes_mod_order_wide(b"\x01" + b"\x00" * 63) == 1
+    c = 2**255 + 12345
+    assert S.from_bytes_mod_order_wide(c.to_bytes(64, "little")) == c % S.L
+    b = S.to_bytes(S.L - 1)
+    assert S.from_canonical_bytes(b) == S.L - 1
+    assert S.from_canonical_bytes(S.L.to_bytes(32, "little")) is None
