@@ -1,0 +1,173 @@
+"""N data-parallel Merlin transcripts with a shared static schedule.
+
+The reference proves each parameter under its own fresh transcript
+(`Transcript::new(b"RandProof")` per element, rand_proof_vec/mod.rs:30-33).
+Because every element runs the SAME sequence of appends/challenges (only the
+absorbed bytes differ), the STROBE byte positions, flags and permutation
+points are identical across the batch — so all N sponges advance in lockstep
+with batched keccak-f1600 calls (ops.keccak_batch) on TPU, while the
+schedule itself (pos/pos_begin/flags) stays static Python.
+
+Bit-exact with spec.merlin (which is pinned to merlin's published vector).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import keccak_batch, sc
+from ..spec.merlin import (
+    FLAG_A, FLAG_C, FLAG_I, FLAG_K, FLAG_M, FLAG_T, STROBE_R, Strobe128,
+)
+
+
+def _u32le_bytes(n: int) -> bytes:
+    return int(n).to_bytes(4, "little")
+
+
+class BatchStrobe:
+    """Batched STROBE-128; data is (L, N) uint32 byte columns or const bytes."""
+
+    def __init__(self, n: int, template: Strobe128):
+        state_bytes = np.tile(np.frombuffer(bytes(template.state), np.uint8), (n, 1))
+        self.state = jnp.asarray(keccak_batch.state_from_bytes(state_bytes))
+        self.n = n
+        self.pos = template.pos
+        self.pos_begin = template.pos_begin
+        self.cur_flags = template.cur_flags
+
+    # -- internals ---------------------------------------------------------
+
+    def _xor_byte(self, pos: int, val):
+        w, sh = divmod(pos, 4)
+        if isinstance(val, (int, np.integer)):
+            if val == 0:
+                return
+            v = jnp.uint32(int(val) << (8 * sh))
+        else:
+            v = val.astype(jnp.uint32) << (8 * sh)
+        self.state = self.state.at[w].set(self.state[w] ^ v)
+
+    def _set_byte(self, pos: int, val):
+        w, sh = divmod(pos, 4)
+        mask = jnp.uint32(~(0xFF << (8 * sh)) & 0xFFFFFFFF)
+        if isinstance(val, (int, np.integer)):
+            v = jnp.uint32(int(val) << (8 * sh))
+        else:
+            v = val.astype(jnp.uint32) << (8 * sh)
+        self.state = self.state.at[w].set((self.state[w] & mask) | v)
+
+    def _get_byte(self, pos: int) -> jnp.ndarray:
+        w, sh = divmod(pos, 4)
+        return (self.state[w] >> (8 * sh)) & 0xFF
+
+    def _run_f(self):
+        self._xor_byte(self.pos, self.pos_begin)
+        self._xor_byte(self.pos + 1, 0x04)
+        self._xor_byte(STROBE_R + 1, 0x80)
+        self.state = keccak_batch.keccak_f1600(self.state)
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _absorb_iter(self, byte_iter):
+        for b in byte_iter:
+            self._xor_byte(self.pos, b)
+            self.pos += 1
+            if self.pos == STROBE_R:
+                self._run_f()
+
+    def _begin_op(self, flags: int, more: bool):
+        if more:
+            assert self.cur_flags == flags
+            return
+        assert flags & FLAG_T == 0
+        old_begin = self.pos_begin
+        self.pos_begin = self.pos + 1
+        self.cur_flags = flags
+        self._absorb_iter([old_begin, flags])
+        if flags & (FLAG_C | FLAG_K) and self.pos != 0:
+            self._run_f()
+
+    @staticmethod
+    def _iter_data(data) -> list:
+        """bytes → list of const ints; array (L, N) → list of row vectors."""
+        if isinstance(data, (bytes, bytearray)):
+            return list(data)
+        return [data[i] for i in range(data.shape[0])]
+
+    # -- STROBE ops used by merlin ----------------------------------------
+
+    def meta_ad(self, data, more: bool):
+        self._begin_op(FLAG_M | FLAG_A, more)
+        self._absorb_iter(self._iter_data(data))
+
+    def ad(self, data, more: bool):
+        self._begin_op(FLAG_A, more)
+        self._absorb_iter(self._iter_data(data))
+
+    def prf(self, n_bytes: int, more: bool) -> jnp.ndarray:
+        self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
+        out = []
+        for _ in range(n_bytes):
+            out.append(self._get_byte(self.pos))
+            self._set_byte(self.pos, 0)
+            self.pos += 1
+            if self.pos == STROBE_R:
+                self._run_f()
+        return jnp.stack(out)  # (n_bytes, N)
+
+
+class BatchTranscript:
+    """merlin::Transcript × N, lockstep schedule."""
+
+    def __init__(self, label: bytes, n: int):
+        # Constant prefix (protocol init + domain-sep label) is computed once
+        # on the host spec implementation and broadcast.
+        template = Strobe128(b"Merlin v1.0")
+        template.meta_ad(b"dom-sep", False)
+        template.meta_ad(_u32le_bytes(len(label)), True)
+        template.ad(label, False)
+        self.strobe = BatchStrobe(n, template)
+        self.n = n
+
+    def append_message(self, label: bytes, message, length: int | None = None):
+        """message: bytes (broadcast) or (L, N) uint32 byte columns."""
+        if isinstance(message, (bytes, bytearray)):
+            length = len(message)
+        else:
+            length = message.shape[0] if length is None else length
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(_u32le_bytes(length), True)
+        self.strobe.ad(message, False)
+
+    def challenge_bytes(self, label: bytes, n_bytes: int) -> jnp.ndarray:
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(_u32le_bytes(n_bytes), True)
+        return self.strobe.prf(n_bytes, False)
+
+    def challenge_scalars(self, label: bytes) -> jnp.ndarray:
+        """64 challenge bytes → canonical scalars (16, N), on device
+        (rand_proof/transcript.rs:40-44 semantics)."""
+        return sc.reduce_wide_bytes(self.challenge_bytes(label, 64))
+
+
+# -- byte-column helpers -----------------------------------------------------
+
+
+def scalar_byte_cols(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Canonical scalar limbs (16, N) → (32, N) byte columns (LE)."""
+    rows = []
+    for k in range(16):
+        rows.append(limbs[k] & 0xFF)
+        rows.append((limbs[k] >> 8) & 0xFF)
+    return jnp.stack(rows)
+
+
+def field_byte_cols(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Canonical field-element limbs (e.g. compressed points) → (32, N)."""
+    return scalar_byte_cols(limbs)
+
+
+def concat_cols(*cols) -> jnp.ndarray:
+    return jnp.concatenate(cols, axis=0)

@@ -1,0 +1,481 @@
+"""Aggregated Bulletproofs range proofs + inner-product argument.
+
+Protocol-compatible rebuild of the `bulletproofs 4.0` crate used by the
+reference (rofl_crypto/Cargo.toml:27; driven from range_proof_vec/mod.rs and
+l2_range_proof_vec/mod.rs). The MPC dealer/party structure collapses into a
+single prover whose vector phases are batched device kernels:
+
+  * bit decomposition, l/r polynomial vectors, t-poly inner products →
+    rofl_tpu.ops.sc batches (VPU, mod-l limb arithmetic)
+  * A/S/T commitments and IPA L/R points → rofl_tpu.ops.msm
+  * generators G_i/H_i → SHAKE-256 XOF (host) + batched Elligator (device)
+  * Fiat-Shamir transcript → host spec.merlin (ONE transcript per proof,
+    unlike the per-element Σ-protocols which use the batched transcript)
+
+Transcript schedule (bulletproofs transcript.rs, dealer.rs, verification in
+range_proof/mod.rs): rangeproof_domain_sep(n, m); "V"*m; "A"; "S"; y; z;
+"T_1"; "T_2"; x; "t_x"; "t_x_blinding"; "e_blinding"; w; then ipp:
+innerproduct_domain_sep(nm); per round "L","R", u.
+
+Verification is the single random-linear-combination mega-MSM of
+verify_multiple (c = random combiner), evaluated on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve, fe, msm, sc
+from ..ops.curve import PointArray
+from ..spec import generators as G
+from ..spec import ristretto as SR
+from ..spec import scalar as SS
+from ..spec.merlin import Transcript
+from . import pedersen
+
+IDENTITY_BYTES = bytes(32)
+
+
+# -- generators --------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def device_bp_gens(n: int, m: int) -> tuple[PointArray, PointArray]:
+    """BulletproofGens(n, m) shares concatenated party-major, as device
+    points: host SHAKE-256 streams + batched Elligator map."""
+    g_blobs = []
+    h_blobs = []
+    for j in range(m):
+        gb, hb = G.bp_gens_uniform_bytes(n, j)
+        g_blobs.append(np.frombuffer(gb, np.uint8).reshape(n, 64))
+        h_blobs.append(np.frombuffer(hb, np.uint8).reshape(n, 64))
+    g_bytes = np.concatenate(g_blobs)
+    h_bytes = np.concatenate(h_blobs)
+    return curve.from_uniform_bytes(g_bytes), curve.from_uniform_bytes(h_bytes)
+
+
+def _point_slice(p: PointArray, sl) -> PointArray:
+    return PointArray(p.x[:, sl], p.y[:, sl], p.z[:, sl], p.t[:, sl])
+
+
+def _point_concat(a: PointArray, b: PointArray) -> PointArray:
+    return PointArray(
+        jnp.concatenate([a.x, b.x], axis=1),
+        jnp.concatenate([a.y, b.y], axis=1),
+        jnp.concatenate([a.z, b.z], axis=1),
+        jnp.concatenate([a.t, b.t], axis=1),
+    )
+
+
+def _compress_bytes(p: PointArray) -> list[bytes]:
+    return [bytes(row) for row in curve.compress_to_bytes(p)]
+
+
+def _append_point(t: Transcript, label: bytes, pt_bytes: bytes):
+    t.append_message(label, pt_bytes)
+
+
+def _validate_and_append(t: Transcript, label: bytes, pt_bytes: bytes) -> bool:
+    """bulletproofs TranscriptProtocol::validate_and_append_point: reject the
+    identity encoding."""
+    if pt_bytes == IDENTITY_BYTES:
+        return False
+    t.append_message(label, pt_bytes)
+    return True
+
+
+def _const(x: int) -> jnp.ndarray:
+    return jnp.asarray(sc.pack_scalars([x]))
+
+
+# -- proof container ---------------------------------------------------------
+
+
+@dataclass
+class InnerProductProof:
+    L: list[bytes]
+    R: list[bytes]
+    a: int
+    b: int
+
+    def to_bytes(self) -> bytes:
+        out = b"".join(l + r for l, r in zip(self.L, self.R))
+        return out + SS.to_bytes(self.a) + SS.to_bytes(self.b)
+
+
+@dataclass
+class RangeProof:
+    """Mirror of bulletproofs::RangeProof (serialization: A,S,T_1,T_2,
+    t_x, t_x_blinding, e_blinding, then ipp L_i,R_i interleaved? — dalek
+    to_bytes: A,S,T_1,T_2,t_x,t_x_blinding,e_blinding,ipp_proof)."""
+
+    A: bytes
+    S: bytes
+    T_1: bytes
+    T_2: bytes
+    t_x: int
+    t_x_blinding: int
+    e_blinding: int
+    ipp: InnerProductProof
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.A + self.S + self.T_1 + self.T_2
+            + SS.to_bytes(self.t_x)
+            + SS.to_bytes(self.t_x_blinding)
+            + SS.to_bytes(self.e_blinding)
+            + self.ipp.to_bytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "RangeProof":
+        if len(data) < 7 * 32 or len(data) % 32 != 0:
+            raise ValueError("malformed RangeProof")
+        head = [data[i * 32:(i + 1) * 32] for i in range(7)]
+        rest = data[7 * 32:]
+        n_pts = len(rest) // 32 - 2
+        if n_pts < 0 or n_pts % 2:
+            raise ValueError("malformed ipp")
+        k = n_pts // 2
+        L = [rest[i * 64: i * 64 + 32] for i in range(k)]
+        R = [rest[i * 64 + 32: i * 64 + 64] for i in range(k)]
+        a = SS.from_canonical_bytes(rest[-64:-32])
+        b = SS.from_canonical_bytes(rest[-32:])
+        if a is None or b is None:
+            raise ValueError("non-canonical ipp scalars")
+        tx = SS.from_canonical_bytes(head[4])
+        txb = SS.from_canonical_bytes(head[5])
+        eb = SS.from_canonical_bytes(head[6])
+        if tx is None or txb is None or eb is None:
+            raise ValueError("non-canonical scalars")
+        return cls(head[0], head[1], head[2], head[3], tx, txb, eb,
+                   InnerProductProof(L, R, a, b))
+
+
+# -- prover ------------------------------------------------------------------
+
+
+def prove_multiple(
+    transcript: Transcript,
+    values: list[int],
+    blindings: list[int],
+    n: int,
+    rng: np.random.Generator,
+) -> tuple[RangeProof, list[bytes]]:
+    """RangeProof::prove_multiple (range_proof/mod.rs + party/dealer).
+
+    values: non-negative ints < 2^n (the shifted fixed-point values,
+    range_proof_vec/mod.rs:36-43); blindings: scalars. m = len(values) must
+    be a power of two (range_proof_vec pads, mod.rs:46-51).
+    """
+    m = len(values)
+    assert m & (m - 1) == 0, "m must be a power of two"
+    nm = n * m
+    lg_nm = nm.bit_length() - 1
+    gens_G, gens_H = device_bp_gens(n, m)
+
+    transcript.append_message(b"dom-sep", b"rangeproof v1")
+    transcript.append_u64(b"n", n)
+    transcript.append_u64(b"m", m)
+
+    # V commitments (per party): B^v · H^gamma
+    v_limbs = jnp.asarray(sc.pack_scalars(values))
+    gamma_limbs = jnp.asarray(sc.pack_scalars(blindings))
+    V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
+    V_bytes = _compress_bytes(V)
+    for vb in V_bytes:
+        _append_point(transcript, b"V", vb)
+
+    # bit vectors over the concatenated nm indices
+    bits_np = np.zeros(nm, dtype=np.uint32)
+    for j, v in enumerate(values):
+        for i in range(n):
+            bits_np[j * n + i] = (int(v) >> i) & 1
+    bits = jnp.asarray(bits_np)
+    a_L = jnp.zeros((16, nm), jnp.uint32).at[0].set(bits)
+    ones = jnp.asarray(sc.pack_scalars([1] * nm))
+    a_R = sc.sub(a_L, ones)
+
+    # A = B_blinding^a_blinding + Σ (bit ? G_i : -H_i)
+    a_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
+    terms = curve.select(bits == 1, gens_G, curve.neg(gens_H))
+    A_pt = curve.add(
+        pedersen.base_H().mul(_const(a_blinding)), curve.tree_sum(terms)
+    )
+    # S = B_blinding^s_blinding + <s_L, G> + <s_R, H>
+    s_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
+    s_L = jnp.asarray(pedersen.rnd_scalar_limbs(nm, rng))
+    s_R = jnp.asarray(pedersen.rnd_scalar_limbs(nm, rng))
+    S_pt = curve.add(
+        pedersen.base_H().mul(_const(s_blinding)),
+        curve.add(msm.msm(gens_G, s_L), msm.msm(gens_H, s_R)),
+    )
+    A_bytes = _compress_bytes(A_pt)[0]
+    S_bytes = _compress_bytes(S_pt)[0]
+    _append_point(transcript, b"A", A_bytes)
+    _append_point(transcript, b"S", S_bytes)
+
+    y = transcript.challenge_scalar(b"y")
+    z = transcript.challenge_scalar(b"z")
+    zz = (z * z) % SS.L
+
+    # vectors: exp_y[k]=y^k; zz2[k]=z^2·z^j·2^i for k=j·n+i
+    exp_y = sc.powers(_const(y), nm)
+    zz2_np = sc.pack_scalars(
+        [(zz * pow(z, k // n, SS.L) * pow(2, k % n, SS.L)) % SS.L for k in range(nm)]
+    )
+    zz2 = jnp.asarray(zz2_np)
+    z_vec = jnp.broadcast_to(_const(z), (16, nm))
+
+    l0 = sc.sub(a_L, z_vec)
+    l1 = s_L
+    r0 = sc.add(sc.mul(exp_y, sc.add(a_R, z_vec)), zz2)
+    r1 = sc.mul(exp_y, s_R)
+
+    t0 = sc.inner_product(l0, r0, axis=0)
+    t2 = sc.inner_product(l1, r1, axis=0)
+    t1_full = sc.inner_product(sc.add(l0, l1), sc.add(r0, r1), axis=0)
+    t0_i, t2_i, t1f_i = (
+        sc.unpack_scalars(np.asarray(t0))[0],
+        sc.unpack_scalars(np.asarray(t2))[0],
+        sc.unpack_scalars(np.asarray(t1_full))[0],
+    )
+    t1_i = (t1f_i - t0_i - t2_i) % SS.L
+
+    t_1_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
+    t_2_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
+    T = pedersen.pedersen_commit(
+        jnp.asarray(sc.pack_scalars([t1_i, t2_i])),
+        jnp.asarray(sc.pack_scalars([t_1_blinding, t_2_blinding])),
+    )
+    T_bytes = _compress_bytes(T)
+    _append_point(transcript, b"T_1", T_bytes[0])
+    _append_point(transcript, b"T_2", T_bytes[1])
+
+    x = transcript.challenge_scalar(b"x")
+
+    t_x = (t0_i + t1_i * x + t2_i * x * x) % SS.L
+    t_x_blinding = (
+        sum(zz * pow(z, j, SS.L) * blindings[j] for j in range(m))
+        + x * t_1_blinding + x * x * t_2_blinding
+    ) % SS.L
+    e_blinding = (a_blinding + x * s_blinding) % SS.L
+
+    transcript.append_message(b"t_x", SS.to_bytes(t_x))
+    transcript.append_message(b"t_x_blinding", SS.to_bytes(t_x_blinding))
+    transcript.append_message(b"e_blinding", SS.to_bytes(e_blinding))
+
+    w = transcript.challenge_scalar(b"w")
+    Q = curve.pack_points([SR.BASEPOINT.scalar_mul(w)])
+
+    l_vec = sc.add(l0, sc.mul(l1, _const(x)))
+    r_vec = sc.add(r0, sc.mul(r1, _const(x)))
+
+    # H_factors = y^-i pre-scaled into H bases (≡ dalek's first-round factor
+    # handling, see module docstring); G_factors are all ones.
+    y_inv = pow(y, SS.L - 2, SS.L)
+    h_factors = sc.powers(_const(y_inv), nm)
+    gens_H_scaled = curve.scalar_mul(gens_H, h_factors)
+
+    ipp = _ipp_create(transcript, Q, gens_G, gens_H_scaled, l_vec, r_vec, nm)
+
+    proof = RangeProof(
+        A_bytes, S_bytes, T_bytes[0], T_bytes[1], t_x, t_x_blinding,
+        e_blinding, ipp,
+    )
+    return proof, V_bytes
+
+
+def _ipp_create(
+    transcript: Transcript,
+    Q: PointArray,
+    G_pts: PointArray,
+    H_pts: PointArray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n: int,
+) -> InnerProductProof:
+    """InnerProductProof::create with factor-prescaled bases."""
+    transcript.append_message(b"dom-sep", b"ipp v1")
+    transcript.append_u64(b"n", n)
+
+    L_bytes: list[bytes] = []
+    R_bytes: list[bytes] = []
+    s = n
+    while s > 1:
+        h = s // 2
+        a_L, a_R = a[:, :h], a[:, h:s]
+        b_L, b_R = b[:, :h], b[:, h:s]
+        G_L, G_R = _point_slice(G_pts, slice(0, h)), _point_slice(G_pts, slice(h, s))
+        H_L, H_R = _point_slice(H_pts, slice(0, h)), _point_slice(H_pts, slice(h, s))
+
+        c_L = sc.unpack_scalars(np.asarray(sc.inner_product(a_L, b_R)))[0]
+        c_R = sc.unpack_scalars(np.asarray(sc.inner_product(a_R, b_L)))[0]
+
+        L_pt = curve.add(
+            curve.add(msm.msm(G_R, a_L), msm.msm(H_L, b_R)),
+            curve.scalar_mul(Q, _const(c_L)),
+        )
+        R_pt = curve.add(
+            curve.add(msm.msm(G_L, a_R), msm.msm(H_R, b_L)),
+            curve.scalar_mul(Q, _const(c_R)),
+        )
+        Lb = _compress_bytes(L_pt)[0]
+        Rb = _compress_bytes(R_pt)[0]
+        L_bytes.append(Lb)
+        R_bytes.append(Rb)
+        _append_point(transcript, b"L", Lb)
+        _append_point(transcript, b"R", Rb)
+        u = transcript.challenge_scalar(b"u")
+        u_inv = pow(u, SS.L - 2, SS.L)
+
+        a = sc.add(sc.mul(a_L, _const(u)), sc.mul(a_R, _const(u_inv)))
+        b = sc.add(sc.mul(b_L, _const(u_inv)), sc.mul(b_R, _const(u)))
+        G_pts = curve.add(
+            curve.scalar_mul(G_L, _const(u_inv)), curve.scalar_mul(G_R, _const(u))
+        )
+        H_pts = curve.add(
+            curve.scalar_mul(H_L, _const(u)), curve.scalar_mul(H_R, _const(u_inv))
+        )
+        s = h
+
+    a_final = sc.unpack_scalars(np.asarray(a[:, :1]))[0]
+    b_final = sc.unpack_scalars(np.asarray(b[:, :1]))[0]
+    return InnerProductProof(L_bytes, R_bytes, a_final, b_final)
+
+
+# -- verifier ----------------------------------------------------------------
+
+
+def _ipp_verification_scalars(
+    ipp: InnerProductProof, n: int, transcript: Transcript
+) -> tuple[list[int], list[int], list[int]] | None:
+    """inner_product_proof.rs verification_scalars: (u_sq, u_inv_sq, s)."""
+    lg_n = len(ipp.L)
+    if lg_n >= 32 or n != (1 << lg_n):
+        return None
+    transcript.append_message(b"dom-sep", b"ipp v1")
+    transcript.append_u64(b"n", n)
+    challenges = []
+    for Lb, Rb in zip(ipp.L, ipp.R):
+        if not _validate_and_append(transcript, b"L", Lb):
+            return None
+        if not _validate_and_append(transcript, b"R", Rb):
+            return None
+        challenges.append(transcript.challenge_scalar(b"u"))
+    u_sq = [(u * u) % SS.L for u in challenges]
+    u_inv = [pow(u, SS.L - 2, SS.L) for u in challenges]
+    u_inv_sq = [(v * v) % SS.L for v in u_inv]
+    all_inv = 1
+    for v in u_inv:
+        all_inv = (all_inv * v) % SS.L
+    s = [all_inv]
+    for i in range(1, n):
+        lg_i = i.bit_length() - 1
+        k = 1 << lg_i
+        u_lg_sq = u_sq[(lg_n - 1) - lg_i]
+        s.append((s[i - k] * u_lg_sq) % SS.L)
+    return u_sq, u_inv_sq, s
+
+
+def _sum_of_powers(x: int, n: int) -> int:
+    acc, cur = 0, 1
+    for _ in range(n):
+        acc = (acc + cur) % SS.L
+        cur = (cur * x) % SS.L
+    return acc
+
+
+def _delta(n: int, m: int, y: int, z: int) -> int:
+    """(z−z²)·Σ_{k<nm} y^k − z³·Σ_{i<n} 2^i·Σ_{j<m} z^j."""
+    zz = (z * z) % SS.L
+    return (
+        (z - zz) * _sum_of_powers(y, n * m)
+        - (zz * z % SS.L) * _sum_of_powers(2, n) * _sum_of_powers(z, m)
+    ) % SS.L
+
+
+def verify_multiple(
+    transcript: Transcript,
+    proof: RangeProof,
+    V_bytes: list[bytes],
+    n: int,
+    rng: np.random.Generator,
+) -> bool:
+    """RangeProof::verify_multiple_with_rng — the single mega-MSM check."""
+    m = len(V_bytes)
+    nm = n * m
+    if m & (m - 1) or nm & (nm - 1):
+        return False
+    gens_G, gens_H = device_bp_gens(n, m)
+
+    transcript.append_message(b"dom-sep", b"rangeproof v1")
+    transcript.append_u64(b"n", n)
+    transcript.append_u64(b"m", m)
+    for vb in V_bytes:
+        # V may be the identity (zero value, zero blinding — the reference's
+        # pow2 padding relies on this; dalek PR #248 explicitly allows it)
+        _append_point(transcript, b"V", vb)
+    if not _validate_and_append(transcript, b"A", proof.A):
+        return False
+    if not _validate_and_append(transcript, b"S", proof.S):
+        return False
+    y = transcript.challenge_scalar(b"y")
+    z = transcript.challenge_scalar(b"z")
+    zz = (z * z) % SS.L
+    if not _validate_and_append(transcript, b"T_1", proof.T_1):
+        return False
+    if not _validate_and_append(transcript, b"T_2", proof.T_2):
+        return False
+    x = transcript.challenge_scalar(b"x")
+    transcript.append_message(b"t_x", SS.to_bytes(proof.t_x))
+    transcript.append_message(b"t_x_blinding", SS.to_bytes(proof.t_x_blinding))
+    transcript.append_message(b"e_blinding", SS.to_bytes(proof.e_blinding))
+    w = transcript.challenge_scalar(b"w")
+
+    c = int.from_bytes(rng.bytes(64), "little") % SS.L  # random combiner
+
+    vs = _ipp_verification_scalars(proof.ipp, nm, transcript)
+    if vs is None:
+        return False
+    u_sq, u_inv_sq, s_vec = vs
+    a, b = proof.ipp.a, proof.ipp.b
+
+    y_inv = pow(y, SS.L - 2, SS.L)
+
+    g_coeffs = [(-z - a * s_i) % SS.L for s_i in s_vec]
+    s_inv = s_vec[::-1]
+    h_coeffs = []
+    y_inv_pow = 1
+    for i in range(nm):
+        zz2 = (zz * pow(z, i // n, SS.L) * pow(2, i % n, SS.L)) % SS.L
+        h_coeffs.append((z + y_inv_pow * (zz2 - b * s_inv[i])) % SS.L)
+        y_inv_pow = (y_inv_pow * y_inv) % SS.L
+
+    basepoint_scalar = (
+        w * (proof.t_x - a * b) + c * (_delta(n, m, y, z) - proof.t_x)
+    ) % SS.L
+    b_blinding_scalar = (-proof.e_blinding - c * proof.t_x_blinding) % SS.L
+    value_scalars = [(c * zz * pow(z, j, SS.L)) % SS.L for j in range(m)]
+
+    # assemble the MSM
+    decode_list = [proof.A, proof.S, proof.T_1, proof.T_2] + proof.ipp.L + proof.ipp.R + V_bytes
+    enc = np.stack([np.frombuffer(bb, np.uint8) for bb in decode_list])
+    pts, valid = curve.decompress(jnp.asarray(fe.from_bytes_array(enc)))
+    if not bool(np.all(np.asarray(valid))):
+        return False
+    lg = len(proof.ipp.L)
+    scalars = (
+        [1, x, (c * x) % SS.L, (c * x * x) % SS.L]
+        + u_sq + u_inv_sq + value_scalars
+    )
+    fixed = curve.pack_points([G.pedersen_B_blinding(), G.pedersen_B()])
+    all_pts = _point_concat(_point_concat(pts, fixed), _point_concat(gens_G, gens_H))
+    all_scalars = scalars + [b_blinding_scalar, basepoint_scalar] + g_coeffs + h_coeffs
+    total = msm.msm(all_pts, jnp.asarray(sc.pack_scalars(all_scalars)))
+    ident = curve.identity((1,))
+    return bool(np.asarray(curve.eq(total, ident))[0])

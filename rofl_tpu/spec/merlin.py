@@ -37,6 +37,13 @@ class Strobe128:
         self.meta_ad(protocol_label, False)
 
     # -- internal sponge driver -------------------------------------------
+    # The byte loops dispatch to the native C helpers when available
+    # (utils/native, built on demand); the pure-Python path is the spec.
+
+    def _native(self):
+        from ..utils.native import get_lib
+
+        return get_lib()
 
     def _run_f(self) -> None:
         self.state[self.pos] ^= self.pos_begin
@@ -46,7 +53,27 @@ class Strobe128:
         self.pos = 0
         self.pos_begin = 0
 
+    def _native_op(self, fn_name: str, data, out=None):
+        import ctypes
+
+        lib = self._native()
+        if lib is None:
+            return None
+        fn = getattr(lib, fn_name)
+        state_buf = (ctypes.c_ubyte * 200).from_buffer(self.state)
+        pb = ctypes.c_int(self.pos_begin)
+        if out is None:
+            buf = bytes(data)
+            self.pos = fn(state_buf, self.pos, ctypes.byref(pb), buf, len(buf), STROBE_R)
+        else:
+            obuf = (ctypes.c_ubyte * len(out)).from_buffer(out)
+            self.pos = fn(state_buf, self.pos, ctypes.byref(pb), obuf, len(out), STROBE_R)
+        self.pos_begin = pb.value
+        return True
+
     def _absorb(self, data: bytes) -> None:
+        if self._native_op("strobe_absorb", data):
+            return
         for byte in data:
             self.state[self.pos] ^= byte
             self.pos += 1
@@ -54,6 +81,8 @@ class Strobe128:
                 self._run_f()
 
     def _overwrite(self, data: bytes) -> None:
+        if self._native_op("strobe_overwrite", data):
+            return
         for byte in data:
             self.state[self.pos] = byte
             self.pos += 1
@@ -62,6 +91,8 @@ class Strobe128:
 
     def _squeeze(self, n: int) -> bytes:
         out = bytearray(n)
+        if self._native_op("strobe_squeeze", None, out=out):
+            return bytes(out)
         for i in range(n):
             out[i] = self.state[self.pos]
             self.state[self.pos] = 0

@@ -6,9 +6,23 @@ the driver separately dry-runs `__graft_entry__.dryrun_multichip`.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (the real TPU tunnel) and a
+# sitecustomize imports jax at interpreter startup, so the env var alone is
+# too late — override the live config as well. Tests run on a virtual
+# 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# The limb-arithmetic graphs (inversion/sqrt chains) are expensive for XLA to
+# compile; a persistent cache makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -1,0 +1,98 @@
+"""Fixed-base commitments, cancelling blindings, and BSGS extraction.
+
+Mirrors reference tests: pedersen_ops.rs:137-296 (homomorphic addition,
+cancelling-blinding extraction with vectors like [0.25, 1.25, -1.5]),
+bsgs32.rs:85-124 (positive/negative dlog recovery).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rofl_tpu.crypto import pedersen
+from rofl_tpu.crypto.fp_codec import FpConfig
+from rofl_tpu.ops import bsgs, curve, sc, fixed_base
+from rofl_tpu.spec import generators as G
+from rofl_tpu.spec import scalar as SS
+
+FP = FpConfig(16, 7)
+rng = np.random.default_rng(99)
+
+
+def test_fixed_base_mul_matches_spec():
+    ks = [0, 1, 2, 255, 256, SS.L - 1, int.from_bytes(rng.bytes(32), "little") % SS.L]
+    fb = pedersen.base_B()
+    got = curve.compress_to_bytes(fb.mul(jnp.asarray(sc.pack_scalars(ks))))
+    for i, k in enumerate(ks):
+        assert bytes(got[i]) == G.pedersen_B().scalar_mul(k).compress(), f"k={k}"
+
+
+def test_commit_matches_spec():
+    ms = [1, 12345, SS.L - 7]
+    rs = [3, 0, 99999]
+    pairs = pedersen.elgamal_commit(
+        jnp.asarray(sc.pack_scalars(ms)), jnp.asarray(sc.pack_scalars(rs))
+    )
+    B, H = G.pedersen_B(), G.pedersen_B_blinding()
+    gotL = curve.compress_to_bytes(pairs.L)
+    gotR = curve.compress_to_bytes(pairs.R)
+    for i, (m, r) in enumerate(zip(ms, rs)):
+        assert bytes(gotL[i]) == (B.scalar_mul(m) + H.scalar_mul(r)).compress()
+        assert bytes(gotR[i]) == B.scalar_mul(r).compress()
+
+
+def test_cancelling_blindings_aggregate():
+    # three clients commit with cancelling blindings; the sum of pairs
+    # decodes to the sum of values (pedersen_ops.rs:229-296 semantics)
+    n_clients, dim = 3, 4
+    value_sets = [[0.25, 1.25, -1.5, 0.75], [0.5, -0.25, 1.0, -2.0],
+                  [1.0, 1.0, 1.0, 1.0]]
+    blindings = pedersen.cancelling_scalar_limbs(n_clients, dim, rng)
+    pair_list = []
+    for vals, b in zip(value_sets, blindings):
+        m = jnp.asarray(FP.f32_to_scalar_limbs(np.array(vals, np.float32)))
+        pair_list.append(pedersen.elgamal_commit(m, jnp.asarray(b)))
+    acc = pair_list[0]
+    for p in pair_list[1:]:
+        acc = pedersen.add_pairs(acc, p)
+    # blindings cancel → R = identity
+    assert bool(np.all(np.asarray(pedersen.right_elem_is_identity(acc))))
+    # extract via BSGS (sum fits in 16 bits)
+    vals, ok = bsgs.solve_discrete_log(acc.L, m=1 << 16, n_bits=16)
+    assert bool(np.all(np.asarray(ok)))
+    got = FP.scalar_limbs_to_f32(np.asarray(vals))
+    want = np.sum(np.array(value_sets, np.float32), axis=0)
+    np.testing.assert_allclose(got, want, atol=1 / 128)
+
+
+def test_bsgs_negative():
+    FPs = FpConfig(16, 7)
+    vals = np.array([-1.5, -0.25, 100.0, -255.9], np.float32)
+    m = jnp.asarray(FPs.f32_to_scalar_limbs(vals))
+    pts = pedersen.pedersen_commit_no_blinding(m)
+    got, ok = bsgs.solve_discrete_log(pts, m=1 << 16, n_bits=16)
+    assert bool(np.all(np.asarray(ok)))
+    out = FPs.scalar_limbs_to_f32(np.asarray(got))
+    np.testing.assert_allclose(out, np.trunc(vals * 128) / 128, atol=1 / 128)
+
+
+def test_fp_codec_roundtrip():
+    vals = np.array([0.0, 0.25, -1.5, 12.5, -100.125, 255.99], np.float32)
+    scalars = FP.f32_to_scalars(vals)
+    back = FP.scalars_to_f32(scalars)
+    np.testing.assert_allclose(back, np.clip(np.round(vals * 128) / 128, -512, 512),
+                               atol=1e-6)
+    # vectorized limb path agrees with scalar path
+    limbs = FP.f32_to_scalar_limbs(vals)
+    assert sc.unpack_scalars(limbs) == scalars
+    back2 = FP.scalar_limbs_to_f32(limbs)
+    np.testing.assert_array_equal(back, back2)
+
+
+def test_fp_square():
+    # conversion32.rs test_square: scalar_to_f32(s*s)/2^frac == v*v
+    v = 12.5
+    s = FP.f32_to_scalars([v])[0]
+    sq = (s * s) % SS.L
+    assert FP.scalar_to_f32(sq) / FP.scale == v * v
+    # fixed square helper
+    assert FP.square_scalar(s) == int(round((12.5 ** 2) * 128))

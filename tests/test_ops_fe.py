@@ -1,0 +1,97 @@
+"""Batched JAX field ops vs the pure-Python spec, over random values."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rofl_tpu.ops import fe
+from rofl_tpu.spec import field as SF
+
+rng = np.random.default_rng(1234)
+N = 64
+
+
+def rand_ints(n=N, bits=256):
+    return [int.from_bytes(rng.bytes(bits // 8), "little") % (2**bits) for _ in range(n)]
+
+
+def check(op_jax, op_spec, a_ints, b_ints=None):
+    a = jnp.asarray(fe.pack_scalars(a_ints))
+    if b_ints is None:
+        got = fe.unpack_scalars(np.asarray(op_jax(a)))
+        want = [op_spec(x) for x in a_ints]
+    else:
+        b = jnp.asarray(fe.pack_scalars(b_ints))
+        got = fe.unpack_scalars(np.asarray(op_jax(a, b)))
+        want = [op_spec(x, y) for x, y in zip(a_ints, b_ints)]
+    for g, w, x in zip(got, want, a_ints):
+        assert g % SF.P == w % SF.P, f"mismatch for {x}"
+
+
+def test_add_sub_neg():
+    a, b = rand_ints(), rand_ints()
+    check(fe.add, SF.fadd, a, b)
+    check(fe.sub, SF.fsub, a, b)
+    check(fe.neg, SF.fneg, a)
+
+
+def test_mul_sqr():
+    a, b = rand_ints(), rand_ints()
+    check(fe.mul, SF.fmul, a, b)
+    check(fe.sqr, SF.fsq, a)
+    # edge cases: 0, 1, p-1, p, 2^256-1 (weakly reduced inputs)
+    edges = [0, 1, SF.P - 1, SF.P, SF.P + 1, 2**256 - 1, 2**255 - 19 - 1, 38]
+    check(fe.mul, SF.fmul, edges, edges[::-1])
+    check(fe.add, SF.fadd, edges, edges)
+    check(fe.sub, SF.fsub, edges, edges[::-1])
+
+
+def test_inv_pow():
+    a = rand_ints(16)
+    check(fe.inv, SF.finv, a)
+    check(fe.pow_p58, SF.fpow_p58, a)
+    # inv(0) == 0 as in dalek
+    z = fe.unpack_scalars(np.asarray(fe.inv(jnp.asarray(fe.pack_scalars([0])))))
+    assert z[0] == 0
+
+
+def test_canonicalize_eq_sign():
+    vals = [0, 1, SF.P - 1, SF.P, SF.P + 5, 2**256 - 1]
+    a = jnp.asarray(fe.pack_scalars(vals))
+    canon = fe.unpack_scalars(np.asarray(fe.canonicalize(a)))
+    assert canon == [v % SF.P for v in vals]
+    negs = np.asarray(fe.is_negative(a))
+    assert list(negs) == [SF.is_negative(v) for v in vals]
+    b = jnp.asarray(fe.pack_scalars([v + SF.P if v + SF.P < 2**256 else v for v in vals]))
+    assert bool(np.all(np.asarray(fe.eq(a, b))))
+
+
+def test_sqrt_ratio():
+    us = rand_ints(24)
+    vs = rand_ints(24)
+    u = jnp.asarray(fe.pack_scalars(us))
+    v = jnp.asarray(fe.pack_scalars(vs))
+    ok, r = fe.sqrt_ratio_m1(u, v)
+    ok = np.asarray(ok)
+    r = fe.unpack_scalars(np.asarray(r))
+    for i, (uu, vv) in enumerate(zip(us, vs)):
+        w_ok, w_r = SF.sqrt_ratio_m1(uu, vv)
+        # ops keep values weakly reduced; compare as field elements
+        assert bool(ok[i]) == w_ok and r[i] % SF.P == w_r
+
+
+def test_bytes_roundtrip():
+    vals = rand_ints(32, bits=255)
+    enc = np.stack([np.frombuffer(SF.to_bytes(v % SF.P), dtype=np.uint8) for v in vals])
+    limbs = fe.from_bytes_array(enc)
+    assert fe.unpack_scalars(limbs) == [v % SF.P if v < 2**255 else v for v in [x % SF.P for x in vals]]
+    back = fe.to_bytes_array(limbs)
+    assert np.array_equal(back, enc)
+
+
+def test_jit_compatible():
+    f = jax.jit(lambda a, b: fe.mul(fe.add(a, b), fe.sub(a, b)))
+    a = jnp.asarray(fe.pack_scalars(rand_ints(8)))
+    b = jnp.asarray(fe.pack_scalars(rand_ints(8)))
+    out = f(a, b)
+    assert out.shape == (16, 8)
