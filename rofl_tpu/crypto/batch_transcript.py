@@ -13,6 +13,7 @@ Bit-exact with spec.merlin (which is pinned to merlin's published vector).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,15 +28,42 @@ def _u32le_bytes(n: int) -> bytes:
 
 
 class BatchStrobe:
-    """Batched STROBE-128; data is (L, N) uint32 byte columns or const bytes."""
+    """Batched STROBE-128; data is (L, N) uint32 byte columns or const bytes.
+
+    Runs on the host (numpy) until traced data arrives: eager use pays zero
+    per-byte XLA dispatches, and under jit the constant schedule prefix
+    (protocol label, domain separators) is folded on the host at trace time —
+    only post-promotion ops enter the traced program.
+    """
 
     def __init__(self, n: int, template: Strobe128):
         state_bytes = np.tile(np.frombuffer(bytes(template.state), np.uint8), (n, 1))
-        self.state = jnp.asarray(keccak_batch.state_from_bytes(state_bytes))
+        self.state = keccak_batch.state_from_bytes(state_bytes)  # numpy
+        self.on_device = False
         self.n = n
         self.pos = template.pos
         self.pos_begin = template.pos_begin
         self.cur_flags = template.cur_flags
+
+    # -- backend handling ---------------------------------------------------
+
+    @property
+    def xp(self):
+        return jnp if self.on_device else np
+
+    def _promote(self):
+        if not self.on_device:
+            self.state = jnp.asarray(self.state)
+            self.on_device = True
+
+    def _coerce(self, val):
+        """Route array data to the current backend; tracers force promotion."""
+        if isinstance(val, jax.core.Tracer):
+            self._promote()
+            return val
+        if isinstance(val, jax.Array):
+            return val if self.on_device else np.asarray(val)
+        return val
 
     # -- internals ---------------------------------------------------------
 
@@ -44,29 +72,40 @@ class BatchStrobe:
         if isinstance(val, (int, np.integer)):
             if val == 0:
                 return
-            v = jnp.uint32(int(val) << (8 * sh))
+            v = self.xp.uint32(int(val) << (8 * sh))
         else:
-            v = val.astype(jnp.uint32) << (8 * sh)
-        self.state = self.state.at[w].set(self.state[w] ^ v)
+            val = self._coerce(val)
+            v = val.astype(self.xp.uint32) << (8 * sh)
+        if self.on_device:
+            self.state = self.state.at[w].set(self.state[w] ^ v)
+        else:
+            self.state[w] = self.state[w] ^ v
 
     def _set_byte(self, pos: int, val):
         w, sh = divmod(pos, 4)
-        mask = jnp.uint32(~(0xFF << (8 * sh)) & 0xFFFFFFFF)
+        mask = self.xp.uint32(~(0xFF << (8 * sh)) & 0xFFFFFFFF)
         if isinstance(val, (int, np.integer)):
-            v = jnp.uint32(int(val) << (8 * sh))
+            v = self.xp.uint32(int(val) << (8 * sh))
         else:
-            v = val.astype(jnp.uint32) << (8 * sh)
-        self.state = self.state.at[w].set((self.state[w] & mask) | v)
+            val = self._coerce(val)
+            v = val.astype(self.xp.uint32) << (8 * sh)
+        if self.on_device:
+            self.state = self.state.at[w].set((self.state[w] & mask) | v)
+        else:
+            self.state[w] = (self.state[w] & mask) | v
 
-    def _get_byte(self, pos: int) -> jnp.ndarray:
+    def _get_byte(self, pos: int):
         w, sh = divmod(pos, 4)
-        return (self.state[w] >> (8 * sh)) & 0xFF
+        return (self.state[w] >> (8 * sh)) & self.xp.uint32(0xFF)
 
     def _run_f(self):
         self._xor_byte(self.pos, self.pos_begin)
         self._xor_byte(self.pos + 1, 0x04)
         self._xor_byte(STROBE_R + 1, 0x80)
-        self.state = keccak_batch.keccak_f1600(self.state)
+        if self.on_device:
+            self.state = keccak_batch.keccak_f1600(self.state)
+        else:
+            self.state = keccak_batch.keccak_f1600_np(self.state)
         self.pos = 0
         self.pos_begin = 0
 
@@ -89,11 +128,11 @@ class BatchStrobe:
         if flags & (FLAG_C | FLAG_K) and self.pos != 0:
             self._run_f()
 
-    @staticmethod
-    def _iter_data(data) -> list:
+    def _iter_data(self, data) -> list:
         """bytes → list of const ints; array (L, N) → list of row vectors."""
         if isinstance(data, (bytes, bytearray)):
             return list(data)
+        data = self._coerce(data)
         return [data[i] for i in range(data.shape[0])]
 
     # -- STROBE ops used by merlin ----------------------------------------
@@ -106,7 +145,7 @@ class BatchStrobe:
         self._begin_op(FLAG_A, more)
         self._absorb_iter(self._iter_data(data))
 
-    def prf(self, n_bytes: int, more: bool) -> jnp.ndarray:
+    def prf(self, n_bytes: int, more: bool):
         self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
         out = []
         for _ in range(n_bytes):
@@ -115,7 +154,7 @@ class BatchStrobe:
             self.pos += 1
             if self.pos == STROBE_R:
                 self._run_f()
-        return jnp.stack(out)  # (n_bytes, N)
+        return self.xp.stack(out)  # (n_bytes, N)
 
 
 class BatchTranscript:

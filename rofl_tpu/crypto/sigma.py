@@ -25,7 +25,9 @@ Response equations (party.rs in each module):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +38,14 @@ from .batch_transcript import BatchTranscript, field_byte_cols, scalar_byte_cols
 from .pedersen import ElGamalPairArray
 
 DOMAIN_SEP = (b"dom-sep", b"randomness proof v1")
+
+# Every prove/verify below is ONE jitted XLA program (fixed-base muls,
+# compressions, the full batched Merlin/STROBE schedule, response
+# arithmetic): per-op dispatch latency through the device tunnel is ~3 ms,
+# so running the ~300-step transcript byte schedule eagerly costs seconds
+# while the fused program runs in milliseconds. Labels are static jit args;
+# the Pedersen tables are passed as device-array args so retraces only
+# happen per (label, shape).
 
 
 def _eg_byte_cols(pair: ElGamalPairArray) -> jnp.ndarray:
@@ -59,6 +69,38 @@ class RandProofVec:
     z_r: jnp.ndarray  # (16, N)
 
 
+@lru_cache(maxsize=None)
+def _rand_prove_core(label: bytes, has_existing: bool):
+    def f(tB, tH, m, r, m_prime, r_prime, existing):
+        def eg_commit(v, b):
+            from ..ops import fixed_base
+
+            Bv = fixed_base.mul(tB, v)
+            Hb = fixed_base.mul(tH, b)
+            Br = fixed_base.mul(tB, b)
+            return ElGamalPairArray(curve.add(Bv, Hb), Br)
+
+        if has_existing:
+            from ..ops import fixed_base
+
+            c = ElGamalPairArray(existing, fixed_base.mul(tB, r))
+        else:
+            c = eg_commit(m, r)
+        c_prime = eg_commit(m_prime, r_prime)
+
+        t = BatchTranscript(label, m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C", _eg_byte_cols(c))
+        t.append_message(b"C_prime", _eg_byte_cols(c_prime))
+        challenge = t.challenge_scalars(b"c")
+
+        z_m = sc.add(m_prime, sc.mul(m, challenge))
+        z_r = sc.add(r_prime, sc.mul(r, challenge))
+        return c, c_prime, z_m, z_r
+
+    return jax.jit(f)
+
+
 def rand_proof_prove(
     m: jnp.ndarray,
     r: jnp.ndarray,
@@ -68,23 +110,35 @@ def rand_proof_prove(
 ) -> tuple[RandProofVec, ElGamalPairArray]:
     """create_randproof_vec(_existing) (rand_proof_vec/mod.rs:19-76)."""
     n = m.shape[1]
-    if existing is None:
-        c = pedersen.elgamal_commit(m, r)
-    else:
-        c = pedersen.elgamal_complete_existing(existing, r)
     m_prime = _rand_scalars(n, rng)
     r_prime = _rand_scalars(n, rng)
-    c_prime = pedersen.elgamal_commit(m_prime, r_prime)
-
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C", _eg_byte_cols(c))
-    t.append_message(b"C_prime", _eg_byte_cols(c_prime))
-    challenge = t.challenge_scalars(b"c")
-
-    z_m = sc.add(m_prime, sc.mul(m, challenge))
-    z_r = sc.add(r_prime, sc.mul(r, challenge))
+    core = _rand_prove_core(transcript_label, existing is not None)
+    ex = existing if existing is not None else curve.identity((n,))
+    c, c_prime, z_m, z_r = core(
+        pedersen.base_B().table, pedersen.base_H().table,
+        m, r, m_prime, r_prime, ex,
+    )
     return RandProofVec(c_prime, z_m, z_r), c
+
+
+@lru_cache(maxsize=None)
+def _rand_verify_core(label: bytes):
+    def f(tB, tH, c_L, c_R, cp_L, cp_R, z_m, z_r):
+        from ..ops import fixed_base
+
+        t = BatchTranscript(label, z_m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C", _eg_byte_cols(ElGamalPairArray(c_L, c_R)))
+        t.append_message(b"C_prime", _eg_byte_cols(ElGamalPairArray(cp_L, cp_R)))
+        challenge = t.challenge_scalars(b"c")
+
+        lhs_L = curve.add(fixed_base.mul(tB, z_m), fixed_base.mul(tH, z_r))
+        lhs_R = fixed_base.mul(tB, z_r)
+        rhs_L = curve.add(cp_L, curve.scalar_mul(c_L, challenge))
+        rhs_R = curve.add(cp_R, curve.scalar_mul(c_R, challenge))
+        return curve.eq(lhs_L, rhs_L) & curve.eq(lhs_R, rhs_R)
+
+    return jax.jit(f)
 
 
 def rand_proof_verify(
@@ -93,19 +147,10 @@ def rand_proof_verify(
     transcript_label: bytes = b"RandProof",
 ) -> jnp.ndarray:
     """Batched verify (rand_proof/mod.rs:64-85) → bool mask."""
-    n = proof.z_m.shape[1]
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C", _eg_byte_cols(c))
-    t.append_message(b"C_prime", _eg_byte_cols(proof.c_prime))
-    challenge = t.challenge_scalars(b"c")
-
-    lhs = pedersen.elgamal_commit(proof.z_m, proof.z_r)
-    rhs = ElGamalPairArray(
-        curve.add(proof.c_prime.L, curve.scalar_mul(c.L, challenge)),
-        curve.add(proof.c_prime.R, curve.scalar_mul(c.R, challenge)),
+    return _rand_verify_core(transcript_label)(
+        pedersen.base_B().table, pedersen.base_H().table,
+        c.L, c.R, proof.c_prime.L, proof.c_prime.R, proof.z_m, proof.z_r,
     )
-    return curve.eq(lhs.L, rhs.L) & curve.eq(lhs.R, rhs.R)
 
 
 # -- SquareRandProof ---------------------------------------------------------
@@ -128,6 +173,46 @@ class SquareRandCommitVec:
     c_sq: PointArray
 
 
+@lru_cache(maxsize=None)
+def _square_rand_prove_core(label: bytes, has_existing: bool):
+    def f(tB, tH, m, r1, r2, m_prime, r1_prime, r2_prime, existing):
+        from ..ops import fixed_base
+
+        def eg_commit(v, b):
+            return ElGamalPairArray(
+                curve.add(fixed_base.mul(tB, v), fixed_base.mul(tH, b)),
+                fixed_base.mul(tB, b),
+            )
+
+        if has_existing:
+            c_eg = ElGamalPairArray(existing, fixed_base.mul(tB, r1))
+        else:
+            c_eg = eg_commit(m, r1)
+        m_sq = sc.mul(m, m)  # scalar-field square (party.rs:38)
+        c_sq = curve.add(fixed_base.mul(tB, m_sq), fixed_base.mul(tH, r2))
+
+        c_prime = eg_commit(m_prime, r1_prime)
+        # prime square commitment uses C.L as base: C.L^m' · H^r2'
+        c_sq_prime = curve.add(
+            curve.scalar_mul(c_eg.L, m_prime), fixed_base.mul(tH, r2_prime)
+        )
+
+        t = BatchTranscript(label, m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C_eg", _eg_byte_cols(c_eg))
+        t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
+        t.append_message(b"C_prime_eg", _eg_byte_cols(c_prime))
+        t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
+        challenge = t.challenge_scalars(b"c")
+
+        z_m = sc.add(m_prime, sc.mul(m, challenge))
+        z_r1 = sc.add(r1_prime, sc.mul(r1, challenge))
+        z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
+        return c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2
+
+    return jax.jit(f)
+
+
 def square_rand_proof_prove(
     m: jnp.ndarray,
     r1: jnp.ndarray,
@@ -139,37 +224,48 @@ def square_rand_proof_prove(
     """Batched SquareRandProof::prove(_existing)
     (square_rand_proof/party.rs:17-135)."""
     n = m.shape[1]
-    if existing is None:
-        c_eg = pedersen.elgamal_commit(m, r1)
-    else:
-        c_eg = pedersen.elgamal_complete_existing(existing, r1)
-    m_sq = sc.mul(m, m)  # scalar-field square (party.rs:38)
-    c_sq = pedersen.pedersen_commit(m_sq, r2)
-
-    m_prime = _rand_scalars(n, rng)
-    r1_prime = _rand_scalars(n, rng)
-    r2_prime = _rand_scalars(n, rng)
-    c_prime = pedersen.elgamal_commit(m_prime, r1_prime)
-    # prime square commitment uses C.L as base: C.L^m' · H^r2'
-    c_sq_prime = curve.add(
-        curve.scalar_mul(c_eg.L, m_prime), pedersen.base_H().mul(r2_prime)
+    core = _square_rand_prove_core(transcript_label, existing is not None)
+    ex = existing if existing is not None else curve.identity((n,))
+    c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2 = core(
+        pedersen.base_B().table, pedersen.base_H().table,
+        m, r1, r2,
+        _rand_scalars(n, rng), _rand_scalars(n, rng), _rand_scalars(n, rng),
+        ex,
     )
-
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C_eg", _eg_byte_cols(c_eg))
-    t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
-    t.append_message(b"C_prime_eg", _eg_byte_cols(c_prime))
-    t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
-    challenge = t.challenge_scalars(b"c")
-
-    z_m = sc.add(m_prime, sc.mul(m, challenge))
-    z_r1 = sc.add(r1_prime, sc.mul(r1, challenge))
-    z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
     return (
         SquareRandProofVec(c_prime, c_sq_prime, z_m, z_r1, z_r2),
         SquareRandCommitVec(c_eg, c_sq),
     )
+
+
+@lru_cache(maxsize=None)
+def _square_rand_verify_core(label: bytes):
+    def f(tB, tH, c_L, c_R, c_sq, cp_L, cp_R, c_sq_prime, z_m, z_r1, z_r2):
+        from ..ops import fixed_base
+
+        t = BatchTranscript(label, z_m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C_eg", _eg_byte_cols(ElGamalPairArray(c_L, c_R)))
+        t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
+        t.append_message(b"C_prime_eg", _eg_byte_cols(ElGamalPairArray(cp_L, cp_R)))
+        t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
+        challenge = t.challenge_scalars(b"c")
+
+        # ElGamal relation
+        lhs_L = curve.add(fixed_base.mul(tB, z_m), fixed_base.mul(tH, z_r1))
+        lhs_R = fixed_base.mul(tB, z_r1)
+        rhs_L = curve.add(cp_L, curve.scalar_mul(c_L, challenge))
+        rhs_R = curve.add(cp_R, curve.scalar_mul(c_R, challenge))
+        ok_eg = curve.eq(lhs_L, rhs_L) & curve.eq(lhs_R, rhs_R)
+
+        # Pedersen square relation: C.L^z_m · H^z_r2 == C'_sq + c·C_sq
+        lhs_ped = curve.add(
+            curve.scalar_mul(c_L, z_m), fixed_base.mul(tH, z_r2)
+        )
+        rhs_ped = curve.add(c_sq_prime, curve.scalar_mul(c_sq, challenge))
+        return ok_eg & curve.eq(lhs_ped, rhs_ped)
+
+    return jax.jit(f)
 
 
 def square_rand_proof_verify(
@@ -178,27 +274,12 @@ def square_rand_proof_verify(
     transcript_label: bytes = b"SquareRandProof",
 ) -> jnp.ndarray:
     """Batched verify (square_rand_proof/mod.rs:78-115)."""
-    n = proof.z_m.shape[1]
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C_eg", _eg_byte_cols(c.c))
-    t.append_message(b"C_ped", field_byte_cols(curve.compress(c.c_sq)))
-    t.append_message(b"C_prime_eg", _eg_byte_cols(proof.c_prime))
-    t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(proof.c_sq_prime)))
-    challenge = t.challenge_scalars(b"c")
-
-    # ElGamal relation
-    lhs = pedersen.elgamal_commit(proof.z_m, proof.z_r1)
-    rhs_L = curve.add(proof.c_prime.L, curve.scalar_mul(c.c.L, challenge))
-    rhs_R = curve.add(proof.c_prime.R, curve.scalar_mul(c.c.R, challenge))
-    ok_eg = curve.eq(lhs.L, rhs_L) & curve.eq(lhs.R, rhs_R)
-
-    # Pedersen square relation: C.L^z_m · H^z_r2 == C'_sq + c·C_sq
-    lhs_ped = curve.add(
-        curve.scalar_mul(c.c.L, proof.z_m), pedersen.base_H().mul(proof.z_r2)
+    return _square_rand_verify_core(transcript_label)(
+        pedersen.base_B().table, pedersen.base_H().table,
+        c.c.L, c.c.R, c.c_sq,
+        proof.c_prime.L, proof.c_prime.R, proof.c_sq_prime,
+        proof.z_m, proof.z_r1, proof.z_r2,
     )
-    rhs_ped = curve.add(proof.c_sq_prime, curve.scalar_mul(c.c_sq, challenge))
-    return ok_eg & curve.eq(lhs_ped, rhs_ped)
 
 
 # -- SquareProof (Pedersen-only) --------------------------------------------
@@ -219,6 +300,39 @@ class SquareCommitVec:
     c_sq: PointArray
 
 
+@lru_cache(maxsize=None)
+def _square_prove_core(label: bytes, has_existing: bool):
+    def f(tB, tH, m, r1, r2, m_prime, r1_prime, r2_prime, existing):
+        from ..ops import fixed_base
+
+        def ped(v, b):
+            return curve.add(fixed_base.mul(tB, v), fixed_base.mul(tH, b))
+
+        c_l = existing if has_existing else ped(m, r1)
+        m_sq = sc.mul(m, m)
+        c_sq = ped(m_sq, r2)
+
+        c_l_prime = ped(m_prime, r1_prime)
+        c_sq_prime = curve.add(
+            curve.scalar_mul(c_l, m_prime), fixed_base.mul(tH, r2_prime)
+        )
+
+        t = BatchTranscript(label, m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C_eg", field_byte_cols(curve.compress(c_l)))
+        t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
+        t.append_message(b"C_prime_eg", field_byte_cols(curve.compress(c_l_prime)))
+        t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
+        challenge = t.challenge_scalars(b"c")
+
+        z_m = sc.add(m_prime, sc.mul(m, challenge))
+        z_r1 = sc.add(r1_prime, sc.mul(r1, challenge))
+        z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
+        return c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2
+
+    return jax.jit(f)
+
+
 def square_proof_prove(
     m: jnp.ndarray,
     r1: jnp.ndarray,
@@ -229,32 +343,42 @@ def square_proof_prove(
 ) -> tuple[SquareProofVec, SquareCommitVec]:
     """Batched SquareProof::prove(_existing) (square_proof/party.rs)."""
     n = m.shape[1]
-    c_l = pedersen.pedersen_commit(m, r1) if existing is None else existing
-    m_sq = sc.mul(m, m)
-    c_sq = pedersen.pedersen_commit(m_sq, r2)
-
-    m_prime = _rand_scalars(n, rng)
-    r1_prime = _rand_scalars(n, rng)
-    r2_prime = _rand_scalars(n, rng)
-    c_l_prime = pedersen.pedersen_commit(m_prime, r1_prime)
-    c_sq_prime = curve.add(
-        curve.scalar_mul(c_l, m_prime), pedersen.base_H().mul(r2_prime)
+    core = _square_prove_core(transcript_label, existing is not None)
+    ex = existing if existing is not None else curve.identity((n,))
+    c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2 = core(
+        pedersen.base_B().table, pedersen.base_H().table,
+        m, r1, r2,
+        _rand_scalars(n, rng), _rand_scalars(n, rng), _rand_scalars(n, rng),
+        ex,
     )
-
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C_eg", field_byte_cols(curve.compress(c_l)))
-    t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
-    t.append_message(b"C_prime_eg", field_byte_cols(curve.compress(c_l_prime)))
-    t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
-    challenge = t.challenge_scalars(b"c")
-
-    z_m = sc.add(m_prime, sc.mul(m, challenge))
-    z_r1 = sc.add(r1_prime, sc.mul(r1, challenge))
-    z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
     return SquareProofVec(c_l_prime, c_sq_prime, z_m, z_r1, z_r2), SquareCommitVec(
         c_l, c_sq
     )
+
+
+@lru_cache(maxsize=None)
+def _square_verify_core(label: bytes):
+    def f(tB, tH, c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2):
+        from ..ops import fixed_base
+
+        t = BatchTranscript(label, z_m.shape[1])
+        t.append_message(*DOMAIN_SEP)
+        t.append_message(b"C_eg", field_byte_cols(curve.compress(c_l)))
+        t.append_message(b"C_ped", field_byte_cols(curve.compress(c_sq)))
+        t.append_message(b"C_prime_eg", field_byte_cols(curve.compress(c_l_prime)))
+        t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(c_sq_prime)))
+        challenge = t.challenge_scalars(b"c")
+
+        lhs = curve.add(fixed_base.mul(tB, z_m), fixed_base.mul(tH, z_r1))
+        rhs = curve.add(c_l_prime, curve.scalar_mul(c_l, challenge))
+        ok1 = curve.eq(lhs, rhs)
+        lhs_ped = curve.add(
+            curve.scalar_mul(c_l, z_m), fixed_base.mul(tH, z_r2)
+        )
+        rhs_ped = curve.add(c_sq_prime, curve.scalar_mul(c_sq, challenge))
+        return ok1 & curve.eq(lhs_ped, rhs_ped)
+
+    return jax.jit(f)
 
 
 def square_proof_verify(
@@ -262,20 +386,8 @@ def square_proof_verify(
     c: SquareCommitVec,
     transcript_label: bytes = b"SquareProof",
 ) -> jnp.ndarray:
-    n = proof.z_m.shape[1]
-    t = BatchTranscript(transcript_label, n)
-    t.append_message(*DOMAIN_SEP)
-    t.append_message(b"C_eg", field_byte_cols(curve.compress(c.c_l)))
-    t.append_message(b"C_ped", field_byte_cols(curve.compress(c.c_sq)))
-    t.append_message(b"C_prime_eg", field_byte_cols(curve.compress(proof.c_l_prime)))
-    t.append_message(b"C_prime_ped", field_byte_cols(curve.compress(proof.c_sq_prime)))
-    challenge = t.challenge_scalars(b"c")
-
-    lhs = pedersen.pedersen_commit(proof.z_m, proof.z_r1)
-    rhs = curve.add(proof.c_l_prime, curve.scalar_mul(c.c_l, challenge))
-    ok1 = curve.eq(lhs, rhs)
-    lhs_ped = curve.add(
-        curve.scalar_mul(c.c_l, proof.z_m), pedersen.base_H().mul(proof.z_r2)
+    return _square_verify_core(transcript_label)(
+        pedersen.base_B().table, pedersen.base_H().table,
+        c.c_l, c.c_sq, proof.c_l_prime, proof.c_sq_prime,
+        proof.z_m, proof.z_r1, proof.z_r2,
     )
-    rhs_ped = curve.add(proof.c_sq_prime, curve.scalar_mul(c.c_sq, challenge))
-    return ok1 & curve.eq(lhs_ped, rhs_ped)

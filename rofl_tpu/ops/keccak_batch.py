@@ -44,14 +44,11 @@ def _rol64(lo, hi, r):
         r -= 32
     if r == 0:
         return lo, hi
-    rr = jnp.uint32(r)
-    inv = jnp.uint32(32 - r)
-    return (lo << rr) | (hi >> inv), (hi << rr) | (lo >> inv)
+    return (lo << r) | (hi >> (32 - r)), (hi << r) | (lo >> (32 - r))
 
 
-@jax.jit
-def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
-    """state: (50, N) uint32; rows (2l, 2l+1) = lane A[x][y], l = x + 5y."""
+def _f1600_body(state, xp):
+    """Backend-generic permutation body (xp = jnp under trace, np on host)."""
     lanes = [
         [(state[2 * (x + 5 * y)], state[2 * (x + 5 * y) + 1]) for y in range(5)]
         for x in range(5)
@@ -88,8 +85,8 @@ def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
                 )
         # iota
         lanes[0][0] = (
-            lanes[0][0][0] ^ jnp.uint32(rc & 0xFFFFFFFF),
-            lanes[0][0][1] ^ jnp.uint32(rc >> 32),
+            lanes[0][0][0] ^ xp.uint32(rc & 0xFFFFFFFF),
+            lanes[0][0][1] ^ xp.uint32(rc >> 32),
         )
 
     out = [None] * 50
@@ -97,7 +94,19 @@ def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
         for y in range(5):
             out[2 * (x + 5 * y)] = lanes[x][y][0]
             out[2 * (x + 5 * y) + 1] = lanes[x][y][1]
-    return jnp.stack(out)
+    return xp.stack(out)
+
+
+@jax.jit
+def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
+    """state: (50, N) uint32; rows (2l, 2l+1) = lane A[x][y], l = x + 5y."""
+    return _f1600_body(state, jnp)
+
+
+def keccak_f1600_np(state: np.ndarray) -> np.ndarray:
+    """Host (numpy) permutation for eager transcript driving: vectorized
+    over N, no per-op XLA dispatch."""
+    return _f1600_body(np.asarray(state), np)
 
 
 def state_from_bytes(b: np.ndarray) -> np.ndarray:
