@@ -28,15 +28,22 @@ N_PARTITION_PART36 = 16  # rangeproof_part36_bench.rs:36
 
 
 def _bench_file(out_dir: str, name: str, parts: list) -> str:
+    """Reference label format (util.rs:13-30 + bench filenames): dims are
+    zero-padded to 5 digits so the reference plot scripts parse unchanged."""
     os.makedirs(out_dir, exist_ok=True)
     date = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
-    tag = "-".join(str(p) for p in parts)
+    tag = "-".join(
+        f"{p:05d}" if isinstance(p, int) and p >= 1000 else str(p)
+        for p in parts
+    )
     return os.path.join(out_dir, f"{name}-{tag}-({date}).bench")
 
 
 def _record(path: str, ms: float):
+    # integer ms per line, as elapsed().as_millis() writes them
+    # (create_rangeproof_bench.rs:73-75); plot scripts parse with int().
     with open(path, "a") as f:
-        f.write(f"{ms:.3f}\n")
+        f.write(f"{round(ms)}\n")
 
 
 class Suite:
@@ -279,22 +286,22 @@ def bench_dlog(s: Suite, d: int):
     from rofl_tpu.ops import bsgs
 
     table_m = 1 << 16
-    vals = self_vals = s.rng.integers(0, 1 << (s.fp.n_bits - 1), d)
-    from rofl_tpu.ops import sc
-
-    limbs = sc.pack_scalars([int(v) for v in self_vals])
+    # full signed clip range incl. negatives so the negative-walk fallback
+    # of solve_discrete_log_with_neg is exercised (dlog_bench.rs semantics)
+    vals = s.rand_values(d)
+    limbs = s.fp.f32_to_scalar_limbs(vals)
     import jax.numpy as jnp
 
     pts = pedersen.pedersen_commit_no_blinding(jnp.asarray(limbs))
     jax.block_until_ready(pts.x)
 
     def sample(_):
-        out, ok = bsgs.solve_discrete_log(pts, table_m, s.fp.n_bits)
+        out, ok = bsgs.solve_discrete_log(pts, table_m, s.fp.bsgs_n_bits)
         jax.block_until_ready(out)
         assert np.asarray(ok).all()
         return out
 
-    s.run("bench_paper_dlog2", [16, table_m, d], sample)
+    s.run("bench_paper_dlog2", [s.fp.bsgs_n_bits, table_m, d], sample)
 
 
 BENCHES = {

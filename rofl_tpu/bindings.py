@@ -114,8 +114,8 @@ def extract_values(commit_blob: bytes, fp: FpConfig = DEFAULT_FP,
     (bsgs32.rs:36-38): m = 2^(BSGS_N_BITS/2 + PRECOMP_BIAS).
     """
     pts = sv.deserialize_rp_vec(commit_blob)
-    m = table_size or (1 << (fp.n_bits // 2 + fp.precomp_bias))
-    limbs, ok = bsgs.solve_discrete_log(pts, m, fp.n_bits)
+    m = table_size or fp.default_bsgs_table_size
+    limbs, ok = bsgs.solve_discrete_log(pts, m, fp.bsgs_n_bits)
     if not bool(np.asarray(ok).all()):
         raise ValueError("discrete log not found")
     return fp.scalar_limbs_to_f32(np.asarray(limbs))

@@ -33,6 +33,23 @@ class FpConfig:
         return (1 << self.n_bits) - 1
 
     @property
+    def precomp_bias(self) -> int:
+        """PRECOMP_BIAS per width (fp.rs:45,61,77,86): sizes the default
+        BSGS table as 2^(bsgs_n_bits/2 + precomp_bias)."""
+        return {8: 3, 16: 8, 32: 7, 64: 0}[self.n_bits]
+
+    @property
+    def bsgs_n_bits(self) -> int:
+        """BSGS_N_BITS (fp.rs:63,84): fp32/fp64 walk a 16-bit lookup since
+        individual parameters stay small even when the L2 sum needs width."""
+        return min(self.n_bits, 16)
+
+    @property
+    def default_bsgs_table_size(self) -> int:
+        """default_discrete_log_vec's m (bsgs32.rs:36-38)."""
+        return 1 << (self.bsgs_n_bits // 2 + self.precomp_bias)
+
+    @property
     def scale(self) -> float:
         return float(1 << self.n_frac)
 
@@ -163,9 +180,7 @@ class FpConfig:
 
         v = jnp.asarray(values)
         bits = jnp.clip(
-            jnp.rint(jnp.abs(v).astype(jnp.float64)
-                     if False else jnp.abs(v) * self.scale),
-            0, float(self.max_bits),
+            jnp.rint(jnp.abs(v) * self.scale), 0, float(self.max_bits)
         ).astype(jnp.uint32)
         neg = (v < 0) & (bits != 0)
         n = v.shape[0]

@@ -34,10 +34,6 @@ from . import sigma
 from .pedersen import ElGamalPairArray
 from .range_proof import RangeProof
 
-SCALAR_BINCODE_SIZE = 40
-RP_BINCODE_SIZE = 40
-
-
 def _u64(n: int) -> bytes:
     return struct.pack("<Q", n)
 

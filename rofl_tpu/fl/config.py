@@ -49,9 +49,16 @@ def load_experiment(path: str, lazy_eval: bool = False,
     training = client.get("benign_training", {}) or {}
     dataset = (doc.get("dataset", {}) or {}).get("dataset", "mnist")
 
-    enc_type = ENC_TYPE_NAMES.get(crypto.get("enc_type", "Range"),
-                                  P.PLAIN_TYPE)
-    fp = FpConfig(int(crypto.get("fp_bits", 32)), int(crypto.get("fp_frac", 32)))
+    enc_name = crypto.get("enc_type", "Range")
+    if enc_name not in ENC_TYPE_NAMES:
+        # fail fast like config_server.rs's panic on unknown enc_type —
+        # falling back silently would disable the crypto checks
+        raise ValueError(
+            f"unknown crypto.enc_type {enc_name!r}; "
+            f"expected one of {sorted(ENC_TYPE_NAMES)}"
+        )
+    enc_type = ENC_TYPE_NAMES[enc_name]
+    fp = FpConfig(int(crypto.get("fp_bits", 16)), int(crypto.get("fp_frac", 7)))
     crypto_cfg = P.CryptoConfig(
         value_range=int(crypto.get("value_range", 8)),
         n_partition=int(crypto.get("n_partition", 1)),

@@ -55,10 +55,13 @@ class LeNet5(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(6, (5, 5))(x)
+        # canonical LeNet-5 uses VALID convs: 32→28→14→10→5, flatten 5·5·16
+        # = 400 → 62006 total params, matching the reference's
+        # models/cifar_lenet5 weight count
+        x = nn.Conv(6, (5, 5), padding="VALID")(x)
         x = nn.relu(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(16, (5, 5))(x)
+        x = nn.Conv(16, (5, 5), padding="VALID")(x)
         x = nn.relu(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape((x.shape[0], -1))

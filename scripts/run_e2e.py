@@ -23,15 +23,31 @@ sys.path.insert(0, REPO)
 
 def launch(name, args, logdir, env=None):
     os.makedirs(logdir, exist_ok=True)
-    out = open(os.path.join(logdir, f"{name}.log"), "w")
-    p = subprocess.Popen(
-        [sys.executable, "-m", "rofl_tpu.cli"] + args,
-        stdout=out, stderr=subprocess.STDOUT, cwd=REPO,
-        env={**os.environ, **(env or {})},
-        start_new_session=True,
-    )
+    logpath = os.path.join(logdir, f"{name}.log")
+    with open(logpath, "w") as out:
+        p = subprocess.Popen(
+            [sys.executable, "-m", "rofl_tpu.cli"] + args,
+            stdout=out, stderr=subprocess.STDOUT, cwd=REPO,
+            env={**os.environ, **(env or {})},
+            start_new_session=True,
+        )
+    p.logpath = logpath
     print(f"[{name}] pid={p.pid}: rofl_tpu.cli {' '.join(args)}")
     return p
+
+
+def check_alive(p, name):
+    """Abort early (with the log tail) if a freshly-launched process died."""
+    if p.poll() is not None:
+        tail = ""
+        try:
+            with open(p.logpath) as f:
+                tail = "".join(f.readlines()[-20:])
+        except OSError:
+            pass
+        raise SystemExit(
+            f"[{name}] exited during startup (rc={p.returncode}); log tail:\n{tail}"
+        )
 
 
 def main():
@@ -66,6 +82,7 @@ def main():
         ], args.logdir)
         procs.append(server)
         time.sleep(3)
+        check_alive(server, "server")
 
         trainer_flag = []
         if args.trainers > 0 and not args.dummy:

@@ -11,6 +11,10 @@ from rofl_tpu.spec import keccak as SK
 from rofl_tpu.spec import scalar as SS
 from rofl_tpu.spec.merlin import Transcript
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(5)
 
 

@@ -89,10 +89,23 @@ def test_fp_codec_roundtrip():
 
 
 def test_fp_square():
-    # conversion32.rs test_square: scalar_to_f32(s*s)/2^frac == v*v
+    # conversion32.rs test_square runs under fp32 (12.5^2 * 2^14 needs 22
+    # bits of raw magnitude): scalar_to_f32(s*s)/2^frac == v*v
     v = 12.5
-    s = FP.f32_to_scalars([v])[0]
-    sq = (s * s) % SS.L
-    assert FP.scalar_to_f32(sq) / FP.scale == v * v
-    # fixed square helper
-    assert FP.square_scalar(s) == int(round((12.5 ** 2) * 128))
+    fp32 = FpConfig(32, 7)
+    s32 = fp32.f32_to_scalars([v])[0]
+    sq32 = (s32 * s32) % SS.L
+    assert fp32.scalar_to_f32(sq32) / fp32.scale == v * v
+    # fixed square helper works at fp16 too (result 20000 < 2^16)
+    s16 = FP.f32_to_scalars([v])[0]
+    assert FP.square_scalar(s16) == int(round((12.5 ** 2) * 128))
+    # under fp16 the raw square overflows 16 bits and the decoder truncates
+    # to the low n_bits — faithful to read_from_bytes (fp.rs:58-60)
+    sq16 = (s16 * s16) % SS.L
+    raw = (1600 * 1600) & FP.max_bits
+    assert FP.scalar_to_f32(sq16) == raw / FP.scale
+    # BSGS table parameters (fp.rs PRECOMP_BIAS/BSGS_N_BITS per width)
+    assert FP.precomp_bias == 8 and FP.bsgs_n_bits == 16
+    assert fp32.precomp_bias == 7 and fp32.bsgs_n_bits == 16
+    assert FP.default_bsgs_table_size == 1 << 16
+    assert FpConfig(64, 7).precomp_bias == 0

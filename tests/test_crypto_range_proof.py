@@ -11,6 +11,10 @@ from rofl_tpu.ops import bsgs, curve
 from rofl_tpu.spec import scalar as SS
 from rofl_tpu.spec.merlin import Transcript
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(2024)
 FP = FpConfig(16, 7)
 

@@ -10,6 +10,10 @@ import jax.numpy as jnp
 from rofl_tpu.crypto import pedersen, sigma
 from rofl_tpu.ops import sc
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(31337)
 N = 4
 

@@ -15,6 +15,8 @@ from rofl_tpu.fl.server import ServerConfig, TrainingState, make_server
 from rofl_tpu.fl.trainclient import DummyTrainer
 from rofl_tpu.crypto import pedersen
 
+pytestmark = pytest.mark.slow
+
 
 def run_fl(cfg: ServerConfig, n_clients: int, port: int, blinding_fns=None,
            timeout=300):

@@ -7,6 +7,10 @@ from rofl_tpu.ops import curve, fe
 from rofl_tpu.spec import ristretto as SR
 from rofl_tpu.spec import scalar as SS
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(42)
 
 

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from rofl_tpu.ops import fe
 from rofl_tpu.spec import field as SF
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(1234)
 N = 64
 

@@ -12,6 +12,10 @@ from rofl_tpu.spec import ristretto as R
 from rofl_tpu.spec.keccak import keccak_f1600, sha3_256
 from rofl_tpu.spec.merlin import Transcript
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 # RFC 9496 Appendix A.1: encodings of B, 2B, ..., 15B.
 SMALL_MULTIPLES = [
