@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fe
+from .dispatch import use_pallas
 from ..spec import field as SF
 from ..spec import ristretto as SR
 
@@ -75,9 +76,20 @@ def basepoint(batch_shape=()) -> PointArray:
     )
 
 
-@jax.jit
 def add(p: PointArray, q: PointArray) -> PointArray:
-    """Unified extended addition (add-2008-hwcd-3, a=-1): 9 field muls."""
+    """Unified extended addition (add-2008-hwcd-3, a=-1): 9 field muls.
+
+    Routed to the fused Pallas kernel on TPU (ops/kernels.py), jnp on CPU.
+    """
+    if use_pallas():
+        from . import kernels
+
+        return PointArray(*kernels.point_add(tuple(p), tuple(q)))
+    return _add_jnp(p, q)
+
+
+@jax.jit
+def _add_jnp(p: PointArray, q: PointArray) -> PointArray:
     a = fe.mul(fe.sub(p.y, p.x), fe.sub(q.y, q.x))
     b = fe.mul(fe.add(p.y, p.x), fe.add(q.y, q.x))
     c = fe.mul(fe.mul(p.t, fe.constant(SF.D2, p.t.shape[1:])), q.t)
@@ -89,8 +101,16 @@ def add(p: PointArray, q: PointArray) -> PointArray:
     return PointArray(fe.mul(e, f), fe.mul(g, h), fe.mul(f, g), fe.mul(e, h))
 
 
-@jax.jit
 def double(p: PointArray) -> PointArray:
+    if use_pallas():
+        from . import kernels
+
+        return PointArray(*kernels.point_double(tuple(p)))
+    return _double_jnp(p)
+
+
+@jax.jit
+def _double_jnp(p: PointArray) -> PointArray:
     a = fe.sqr(p.x)
     b = fe.sqr(p.y)
     c = fe.mul_small(fe.sqr(p.z), 2)
@@ -123,14 +143,21 @@ def eq(p: PointArray, q: PointArray) -> jnp.ndarray:
     )
 
 
-@jax.jit
 def scalar_mul(p: PointArray, k: jnp.ndarray) -> PointArray:
     """Per-element variable-base scalar mul, shared double-and-add loop.
 
-    k: (16, *batch) uint32 limbs of canonical scalars (< l). 256 shared
-    doublings, 256 batched conditional adds — branch-free; the per-element
-    bit only drives a select.
+    k: (16, *batch) uint32 limbs of canonical scalars (< l). On TPU the
+    whole 256-step ladder runs inside one Pallas kernel (VMEM-resident).
     """
+    if use_pallas():
+        from . import kernels
+
+        return PointArray(*kernels.scalar_mul(tuple(p), k))
+    return _scalar_mul_jnp(p, k)
+
+
+@jax.jit
+def _scalar_mul_jnp(p: PointArray, k: jnp.ndarray) -> PointArray:
 
     def body(i, state):
         acc, addend = state
@@ -147,13 +174,21 @@ def scalar_mul(p: PointArray, k: jnp.ndarray) -> PointArray:
     return acc
 
 
-@jax.jit
 def compress(p: PointArray) -> jnp.ndarray:
     """Batched ristretto encode → canonical field limbs (16, *batch).
 
     Mirrors spec.ristretto.RistrettoPoint.compress; host converts limbs to
     bytes with fe.to_bytes_array.
     """
+    if use_pallas():
+        from . import kernels
+
+        return kernels.compress(tuple(p))
+    return _compress_jnp(p)
+
+
+@jax.jit
+def _compress_jnp(p: PointArray) -> jnp.ndarray:
     X, Y, Z, T = p
     batch = X.shape[1:]
     u1 = fe.mul(fe.add(Z, Y), fe.sub(Z, Y))
@@ -175,7 +210,6 @@ def compress(p: PointArray) -> jnp.ndarray:
     return fe.canonicalize(s)
 
 
-@jax.jit
 def decompress(s: jnp.ndarray) -> tuple[PointArray, jnp.ndarray]:
     """Batched ristretto decode from field limbs s (16, *batch).
 
@@ -183,6 +217,16 @@ def decompress(s: jnp.ndarray) -> tuple[PointArray, jnp.ndarray]:
     (s < p, non-negative) must be checked by the caller on the raw
     bytes/limbs; this checks the on-curve/torsion-free conditions.
     """
+    if use_pallas():
+        from . import kernels
+
+        pt, valid = kernels.decompress(s)
+        return PointArray(*pt), valid
+    return _decompress_jnp(s)
+
+
+@jax.jit
+def _decompress_jnp(s: jnp.ndarray) -> tuple[PointArray, jnp.ndarray]:
     batch = s.shape[1:]
     ss = fe.sqr(s)
     one = fe.ones(batch)
@@ -281,6 +325,10 @@ def tree_sum(p: PointArray, axis: int = 0) -> PointArray:
     body) — the TPU-native substitute for rayon fold loops
     (pedersen_ops.rs:61-69). Pads to a power of two with the identity.
     """
+    if use_pallas() and p.x.ndim == 2 and axis == 0:
+        from . import kernels
+
+        return PointArray(*kernels.tree_sum(tuple(p)))
     ax = axis + 1  # skip limb dim
     if ax != p.x.ndim - 1:
         # move target axis last

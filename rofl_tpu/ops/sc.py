@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .dispatch import use_pallas
 from ..spec import scalar as SS
 
 NLIMB = 16
@@ -207,8 +208,16 @@ def _reduce_to_canonical(limbs: list, n_subs: int) -> jnp.ndarray:
 # -- public ops -------------------------------------------------------------
 
 
-@jax.jit
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if use_pallas():
+        from . import kernels
+
+        return kernels.sc_add(a, b)
+    return _add_jnp(a, b)
+
+
+@jax.jit
+def _add_jnp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     s = _carry([a[k] + b[k] for k in range(NLIMB)])
     return _reduce_to_canonical(_trim(s, 253), 1)
 
@@ -224,9 +233,17 @@ def _l_minus(b: jnp.ndarray) -> list:
     return out
 
 
-@jax.jit
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a - b (canonical inputs) via a + (l - b)."""
+    if use_pallas():
+        from . import kernels
+
+        return kernels.sc_sub(a, b)
+    return _sub_jnp(a, b)
+
+
+@jax.jit
+def _sub_jnp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     s = _add_lists([a[k] for k in range(NLIMB)], _l_minus(b))
     return _reduce_to_canonical(_trim(s, 254), 2)
 
@@ -237,9 +254,19 @@ def neg(a: jnp.ndarray) -> jnp.ndarray:
     return _reduce_to_canonical(_l_minus(a), 1)
 
 
-@jax.jit
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full 512-bit schoolbook product + three folds + canonical subtracts."""
+    """Full 512-bit schoolbook product + three folds + canonical subtracts.
+
+    Routed to the fused Pallas kernel on TPU."""
+    if use_pallas():
+        from . import kernels
+
+        return kernels.sc_mul(a, b)
+    return _mul_jnp(a, b)
+
+
+@jax.jit
+def _mul_jnp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
@@ -338,6 +365,10 @@ def _sum_reduce_pow2(a: jnp.ndarray) -> jnp.ndarray:
 
 def sum_reduce(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Sum scalars along a batch axis (log-depth, one compiled body)."""
+    if use_pallas() and a.ndim == 2 and axis == 0:
+        from . import kernels
+
+        return kernels.sc_sum(a)
     ax = axis + 1
     if ax != a.ndim - 1:
         a = jnp.moveaxis(a, ax, -1)
