@@ -1,14 +1,18 @@
 """Headline benchmark — prints ONE JSON line.
 
-Metric: RandProof creation throughput (params/sec) at d=16384 on one chip —
-the per-parameter ElGamal well-formedness Σ-protocol that dominates the
-EncRange client path. Baseline: the reference's AVX2 Rust prover at
-26.9k params/s (create-randproof-16-32768 = 1.22 s on c5d.4xlarge,
-BASELINE.md), constant rate across d.
+North-star metric (BASELINE.json): the full L2-constraint protocol path at
+d=50000 on one chip — exactly what EncParamsL2 runs per client round
+(params.rs:607-687): per-parameter L∞ Bulletproofs range proofs
+(16 partitions), per-parameter square Σ-protocols on the existing range
+commitments, and the single L2 sum range proof; then the server-side
+verify of all three.
 
-Includes the full pipeline as the reference measures it: commitments
-(2 fixed-base muls + add per param), per-param Merlin transcripts
-(batched keccak on device), challenge scalars, and responses.
+Baseline (c5d.4xlarge, AVX2, scaled to d=50k from BASELINE.md rows):
+prove ≈ 3.2 s squarerandproof + 15.8 s rangeproof + 0.016 s L2 proof
+= 19.0 s; verify ≈ 1.64 s + 1.10 s + 0.001 s = 2.7 s; total 21.7 s.
+
+All timings force real device sync via host transfers (block_until_ready
+through the tunnel does not wait).
 """
 
 import json
@@ -32,42 +36,63 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
-    from rofl_tpu.crypto import pedersen, sigma
-    from rofl_tpu.ops import curve
+    from rofl_tpu.crypto import pedersen
+    from rofl_tpu.crypto.fp_codec import FpConfig
+    from rofl_tpu.fl import params as P
 
-    d = int(os.environ.get("ROFL_BENCH_D", 16384))
+    d = int(os.environ.get("ROFL_BENCH_D", 50000))
+    n_part = int(os.environ.get("ROFL_BENCH_PART", 16))
+    reps = int(os.environ.get("ROFL_BENCH_REPS", 2))
+    fp = FpConfig(16, 7)
+    cfg = P.CryptoConfig(value_range=8, n_partition=n_part, l2_value_range=32,
+                         check_percentage=1.0, enc_type=P.ENC_L2_TYPE, fp=fp)
     rng = np.random.default_rng(7)
+    lo, hi = fp.clip_bounds(8)
+    # keep the L2 norm inside the l2 clip bound like the reference e2e
+    vals = (rng.uniform(lo, hi, d) * 0.05).astype(np.float32)
+    blind = jnp.asarray(pedersen.rnd_scalar_limbs(d, rng))
 
-    m = jnp.asarray(pedersen.rnd_scalar_limbs(d, rng))
-    r = jnp.asarray(pedersen.rnd_scalar_limbs(d, rng))
-
-    def run():
-        proof, c = sigma.rand_proof_prove(m, r, rng)
-        # materialize the proof bytes like the reference's bench loop
-        jax.block_until_ready((proof.z_m, proof.z_r))
-        return proof, c
+    def prove():
+        return P.EncParamsL2.encrypt(vals, blind, cfg, rng)
 
     t0 = time.time()
-    proof, c = run()  # warmup & compile
+    enc = prove()  # warmup & compile
     warm = time.time() - t0
 
-    times = []
-    for _ in range(int(os.environ.get("ROFL_BENCH_REPS", 3))):
+    prove_times = []
+    for _ in range(reps):
         t0 = time.time()
-        run()
-        times.append(time.time() - t0)
+        enc = prove()
+        prove_times.append(time.time() - t0)
 
-    best = min(times)
-    rate = d / best
-    baseline_rate = 32768 / 1.22  # create-randproof-16-32768 on c5d.4xlarge
+    t0 = time.time()
+    ok = enc.verify(rng)
+    verify_warm = time.time() - t0
+    verify_times = []
+    for _ in range(reps):
+        t0 = time.time()
+        ok = enc.verify(rng)
+        verify_times.append(time.time() - t0)
+    if not ok:
+        print(json.dumps({"metric": "l2_path_error", "value": 0,
+                          "unit": "", "vs_baseline": 0}))
+        sys.exit(1)
+
+    prove_s = min(prove_times)
+    verify_s = min(verify_times)
+    total = prove_s + verify_s
+    baseline_total = 21.7  # c5d.4xlarge AVX2 @ d=50k (see docstring)
     result = {
-        "metric": "randproof_create_params_per_sec",
-        "value": round(rate, 1),
-        "unit": "params/s",
-        "vs_baseline": round(rate / baseline_rate, 3),
+        "metric": "l2_path_prove_verify_s_d50k",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_total / total, 3),
+        "prove_s": round(prove_s, 3),
+        "verify_s": round(verify_s, 3),
+        "prove_params_per_s": round(d / prove_s, 1),
         "d": d,
-        "best_s": round(best, 4),
-        "warmup_s": round(warm, 1),
+        "n_partition": n_part,
+        "warmup_s": round(warm + verify_warm, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

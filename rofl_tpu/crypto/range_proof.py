@@ -275,13 +275,13 @@ def prove_multiple(
     l_vec = sc.add(l0, sc.mul(l1, _const(x)))
     r_vec = sc.add(r0, sc.mul(r1, _const(x)))
 
-    # H_factors = y^-i pre-scaled into H bases (≡ dalek's first-round factor
-    # handling, see module docstring); G_factors are all ones.
+    # H_factors y^-i are NOT multiplied into the H points (dalek scales the
+    # bases; a 256-bit ladder per lane). They ride along as pending scalar
+    # factors inside _ipp_create and only ever touch the (cheap) mod-l
+    # scalar vectors — the group outputs are bit-identical.
     y_inv = pow(y, SS.L - 2, SS.L)
-    h_factors = sc.powers(_const(y_inv), nm)
-    gens_H_scaled = curve.scalar_mul(gens_H, h_factors)
 
-    ipp = _ipp_create(transcript, Q, gens_G, gens_H_scaled, l_vec, r_vec, nm)
+    ipp = _ipp_create(transcript, Q, gens_G, gens_H, l_vec, r_vec, nm, y_inv)
 
     proof = RangeProof(
         A_bytes, S_bytes, T_bytes[0], T_bytes[1], t_x, t_x_blinding,
@@ -298,10 +298,34 @@ def _ipp_create(
     a: jnp.ndarray,
     b: jnp.ndarray,
     n: int,
+    y_inv: int,
 ) -> InnerProductProof:
-    """InnerProductProof::create with factor-prescaled bases."""
+    """InnerProductProof::create — factored-fold formulation.
+
+    Produces bit-identical L/R points to dalek's create() with
+    G_factors = 1, H_factors = y^-i, but never multiplies scalars into
+    base points when a pending-scalar substitution can do it in mod-l
+    land instead:
+
+      * the y^-i H_factors stay a pending per-lane factor c_k·y^-j
+        (geometric, ratio preserved by folds) applied to the L/R MSM
+        scalar vectors;
+      * each fold Ĝ' = u_inv·G_L + u·G_R is computed as
+        Ĝ_L + u²·Ĝ_R with the global u_inv tracked in gp (compensated in
+        the MSM scalars) — ONE half-length ladder instead of two
+        full-length ones, and no H pre-scaling ladder at all.
+
+    Device↔host traffic per round: one compress (both L,R) for the
+    transcript; everything else stays on device.
+    """
     transcript.append_message(b"dom-sep", b"ipp v1")
     transcript.append_u64(b"n", n)
+
+    # y^-j powers, sliced per round (pending H factors)
+    y_inv_pows = sc.powers(_const(y_inv), n) if n > 1 else None
+
+    gp = 1   # G pending: G^(k) = gp · Ĝ^(k)
+    ch = 1   # H pending scale: H^(k)_j = ch · y^-j · Ĥ^(k)_j
 
     L_bytes: list[bytes] = []
     R_bytes: list[bytes] = []
@@ -313,19 +337,24 @@ def _ipp_create(
         G_L, G_R = _point_slice(G_pts, slice(0, h)), _point_slice(G_pts, slice(h, s))
         H_L, H_R = _point_slice(H_pts, slice(0, h)), _point_slice(H_pts, slice(h, s))
 
-        c_L = sc.unpack_scalars(np.asarray(sc.inner_product(a_L, b_R)))[0]
-        c_R = sc.unpack_scalars(np.asarray(sc.inner_product(a_R, b_L)))[0]
+        c_L = sc.inner_product(a_L, b_R)
+        c_R = sc.inner_product(a_R, b_L)
 
-        L_pt = curve.add(
-            curve.add(msm.msm(G_R, a_L), msm.msm(H_L, b_R)),
-            curve.scalar_mul(Q, _const(c_L)),
+        ypend = sc.mul(y_inv_pows[:, :h], _const(ch))
+        # L = gp·<a_L, Ĝ_R> + <ch·y^-j·b_R, Ĥ_L> + c_L·Q   (true group values)
+        L_scal = jnp.concatenate(
+            [sc.mul(a_L, _const(gp)), sc.mul(b_R, ypend), c_L], axis=1
         )
-        R_pt = curve.add(
-            curve.add(msm.msm(G_L, a_R), msm.msm(H_R, b_L)),
-            curve.scalar_mul(Q, _const(c_R)),
+        L_pt = msm.msm(_point_concat(_point_concat(G_R, H_L), Q), L_scal)
+        yR = pow(y_inv, h, SS.L)
+        R_scal = jnp.concatenate(
+            [sc.mul(a_R, _const(gp)),
+             sc.mul(b_L, sc.mul(ypend, _const(yR))), c_R], axis=1
         )
-        Lb = _compress_bytes(L_pt)[0]
-        Rb = _compress_bytes(R_pt)[0]
+        R_pt = msm.msm(_point_concat(_point_concat(G_L, H_R), Q), R_scal)
+
+        both = _compress_bytes(_point_concat(L_pt, R_pt))
+        Lb, Rb = both[0], both[1]
         L_bytes.append(Lb)
         R_bytes.append(Rb)
         _append_point(transcript, b"L", Lb)
@@ -335,12 +364,17 @@ def _ipp_create(
 
         a = sc.add(sc.mul(a_L, _const(u)), sc.mul(a_R, _const(u_inv)))
         b = sc.add(sc.mul(b_L, _const(u_inv)), sc.mul(b_R, _const(u)))
-        G_pts = curve.add(
-            curve.scalar_mul(G_L, _const(u_inv)), curve.scalar_mul(G_R, _const(u))
-        )
-        H_pts = curve.add(
-            curve.scalar_mul(H_L, _const(u)), curve.scalar_mul(H_R, _const(u_inv))
-        )
+        if h > 1:
+            # Ĝ' = Ĝ_L + u²·Ĝ_R  (true G' = gp·u_inv·Ĝ')
+            usq = (u * u) % SS.L
+            uinv_sq = (u_inv * u_inv) % SS.L
+            G_pts = curve.add(G_L, curve.scalar_mul(G_R, _const(usq)))
+            # Ĥ' = Ĥ_L + (u_inv²·y^-h)·Ĥ_R  (true H'_j = ch·u·y^-j·Ĥ'_j)
+            H_pts = curve.add(
+                H_L, curve.scalar_mul(H_R, _const((uinv_sq * yR) % SS.L))
+            )
+            gp = (gp * u_inv) % SS.L
+            ch = (ch * u) % SS.L
         s = h
 
     a_final = sc.unpack_scalars(np.asarray(a[:, :1]))[0]
@@ -353,8 +387,13 @@ def _ipp_create(
 
 def _ipp_verification_scalars(
     ipp: InnerProductProof, n: int, transcript: Transcript
-) -> tuple[list[int], list[int], list[int]] | None:
-    """inner_product_proof.rs verification_scalars: (u_sq, u_inv_sq, s)."""
+):
+    """inner_product_proof.rs verification_scalars.
+
+    Returns (u_sq, u_inv_sq, s_vec) with the challenge lists as host ints
+    (2·lg values) and the length-n s vector BUILT ON DEVICE (doubling
+    concat: s_(i|2^j) = s_i · u_sq[lg-1-j]) — the reference computes it
+    with a sequential host loop, which would dominate at n = 2^18."""
     lg_n = len(ipp.L)
     if lg_n >= 32 or n != (1 << lg_n):
         return None
@@ -373,13 +412,21 @@ def _ipp_verification_scalars(
     all_inv = 1
     for v in u_inv:
         all_inv = (all_inv * v) % SS.L
-    s = [all_inv]
-    for i in range(1, n):
-        lg_i = i.bit_length() - 1
-        k = 1 << lg_i
-        u_lg_sq = u_sq[(lg_n - 1) - lg_i]
-        s.append((s[i - k] * u_lg_sq) % SS.L)
-    return u_sq, u_inv_sq, s
+    s_vec = _const(all_inv)
+    for j in range(lg_n):
+        s_vec = jnp.concatenate(
+            [s_vec, sc.mul(s_vec, _const(u_sq[(lg_n - 1) - j]))], axis=1
+        )
+    return u_sq, u_inv_sq, s_vec
+
+
+def _zz2_vec(n: int, m: int, z: int, zz: int) -> jnp.ndarray:
+    """Device (16, n·m) vector of z²·z^j·2^i at index k = j·n+i."""
+    two_pows = sc.powers(_const(2), n)                    # (16, n)
+    z_pows = sc.mul(sc.powers(_const(z), m), _const(zz))  # (16, m)
+    rep_z = jnp.repeat(z_pows, n, axis=1)                 # z^j each n times
+    tile_two = jnp.tile(two_pows, (1, m))
+    return sc.mul(rep_z, tile_two)
 
 
 def _sum_of_powers(x: int, n: int) -> int:
@@ -399,6 +446,153 @@ def _delta(n: int, m: int, y: int, z: int) -> int:
     ) % SS.L
 
 
+def verify_multiple_batch(
+    items: list[tuple[Transcript, RangeProof, list[bytes]]],
+    n: int,
+    rng: np.random.Generator,
+    mesh=None,
+) -> bool:
+    """Batched RangeProof::verify_multiple_with_rng across MANY aggregated
+    proofs sharing the same (n, m) generators — the n_partition chunks of
+    one parameter vector (range_proof_vec) verify as ONE mega-MSM.
+
+    Every chunk's verification equation is scaled by a fresh random weight
+    ρ and summed; the G/H generator coefficients COLLAPSE across chunks
+    (shared bases), so the combined MSM has 2nm + Σ(4+2lg+m) terms instead
+    of n_chunks·(2nm+4+2lg+m). The reference loops verify_multiple per
+    chunk (range_proof_vec/mod.rs:149-216); dalek itself batches this way
+    inside one proof only. All length-nm scalar vectors are built on
+    device (mod-l kernels), not host loops.
+    """
+    if not items:
+        return True
+    m = len(items[0][2])
+    nm = n * m
+    if m & (m - 1) or nm & (nm - 1):
+        return False
+    gens_G, gens_H = device_bp_gens(n, m)
+
+    g_acc = None   # (16, nm) combined G coefficients
+    h_acc = None   # (16, nm) combined H coefficients
+    B_scalar = 0
+    Bb_scalar = 0
+    decode_list: list[bytes] = []
+    host_scalars: list[int] = []
+    value_cols = []  # device (16, m) columns per chunk
+
+    for transcript, proof, V_bytes in items:
+        if len(V_bytes) != m:
+            return False
+        rho = int.from_bytes(rng.bytes(64), "little") % SS.L
+
+        transcript.append_message(b"dom-sep", b"rangeproof v1")
+        transcript.append_u64(b"n", n)
+        transcript.append_u64(b"m", m)
+        for vb in V_bytes:
+            # V may be the identity (zero value, zero blinding — the
+            # reference's pow2 padding relies on this; dalek PR #248
+            # explicitly allows it)
+            _append_point(transcript, b"V", vb)
+        if not _validate_and_append(transcript, b"A", proof.A):
+            return False
+        if not _validate_and_append(transcript, b"S", proof.S):
+            return False
+        y = transcript.challenge_scalar(b"y")
+        z = transcript.challenge_scalar(b"z")
+        zz = (z * z) % SS.L
+        if not _validate_and_append(transcript, b"T_1", proof.T_1):
+            return False
+        if not _validate_and_append(transcript, b"T_2", proof.T_2):
+            return False
+        x = transcript.challenge_scalar(b"x")
+        transcript.append_message(b"t_x", SS.to_bytes(proof.t_x))
+        transcript.append_message(b"t_x_blinding",
+                                  SS.to_bytes(proof.t_x_blinding))
+        transcript.append_message(b"e_blinding", SS.to_bytes(proof.e_blinding))
+        w = transcript.challenge_scalar(b"w")
+
+        c = int.from_bytes(rng.bytes(64), "little") % SS.L  # value combiner
+
+        vs = _ipp_verification_scalars(proof.ipp, nm, transcript)
+        if vs is None:
+            return False
+        u_sq, u_inv_sq, s_vec = vs
+        a, b = proof.ipp.a, proof.ipp.b
+        y_inv = pow(y, SS.L - 2, SS.L)
+
+        # g = ρ·(-z - a·s_i); h = ρ·(z + y^-i·(zz2_i - b·s_inv_i))
+        g = sc.mul(
+            sc.sub(jnp.broadcast_to(_const((SS.L - z) % SS.L), (16, nm)),
+                   sc.mul(s_vec, _const(a))),
+            _const(rho),
+        )
+        s_inv = jnp.flip(s_vec, axis=1)
+        y_inv_pows = sc.powers(_const(y_inv), nm)
+        h = sc.mul(
+            sc.add(
+                jnp.broadcast_to(_const(z), (16, nm)),
+                sc.mul(y_inv_pows,
+                       sc.sub(_zz2_vec(n, m, z, zz),
+                              sc.mul(s_inv, _const(b)))),
+            ),
+            _const(rho),
+        )
+        g_acc = g if g_acc is None else sc.add(g_acc, g)
+        h_acc = h if h_acc is None else sc.add(h_acc, h)
+
+        basepoint_scalar = (
+            w * (proof.t_x - a * b) + c * (_delta(n, m, y, z) - proof.t_x)
+        ) % SS.L
+        B_scalar = (B_scalar + rho * basepoint_scalar) % SS.L
+        Bb_scalar = (
+            Bb_scalar + rho * (-proof.e_blinding - c * proof.t_x_blinding)
+        ) % SS.L
+
+        decode_list += (
+            [proof.A, proof.S, proof.T_1, proof.T_2]
+            + proof.ipp.L + proof.ipp.R + V_bytes
+        )
+        host_scalars += [
+            (k * rho) % SS.L
+            for k in [1, x, (c * x) % SS.L, (c * x * x) % SS.L]
+            + u_sq + u_inv_sq
+        ]
+        value_cols.append(
+            sc.mul(sc.powers(_const(z), m), _const((c * zz * rho) % SS.L))
+        )
+
+    enc = np.stack([np.frombuffer(bb, np.uint8) for bb in decode_list])
+    pts, valid = curve.decompress(jnp.asarray(fe.from_bytes_array(enc)))
+    if not bool(np.all(np.asarray(valid))):
+        return False
+
+    lg = len(items[0][1].ipp.L)
+    stride = 4 + 2 * lg  # host-scalar block per chunk (before V columns)
+    # interleave per-chunk host scalars with their device value columns in
+    # decode_list order: [4+2lg host][m device] per chunk
+    cols = []
+    hs = jnp.asarray(sc.pack_scalars(host_scalars))
+    for ci, vc in enumerate(value_cols):
+        cols.append(hs[:, ci * stride:(ci + 1) * stride])
+        cols.append(vc)
+    fixed = curve.pack_points([G.pedersen_B_blinding(), G.pedersen_B()])
+    all_pts = _point_concat(_point_concat(pts, fixed),
+                            _point_concat(gens_G, gens_H))
+    all_scalars = jnp.concatenate(
+        cols + [jnp.asarray(sc.pack_scalars([Bb_scalar, B_scalar])),
+                g_acc, h_acc],
+        axis=1,
+    )
+    if mesh is not None:
+        from ..parallel.mesh import sharded_msm
+
+        total = sharded_msm(mesh, all_pts, all_scalars)
+    else:
+        total = msm.msm(all_pts, all_scalars)
+    ident = curve.identity((1,))
+    return bool(np.asarray(curve.eq(total, ident))[0])
+
+
 def verify_multiple(
     transcript: Transcript,
     proof: RangeProof,
@@ -406,76 +600,5 @@ def verify_multiple(
     n: int,
     rng: np.random.Generator,
 ) -> bool:
-    """RangeProof::verify_multiple_with_rng — the single mega-MSM check."""
-    m = len(V_bytes)
-    nm = n * m
-    if m & (m - 1) or nm & (nm - 1):
-        return False
-    gens_G, gens_H = device_bp_gens(n, m)
-
-    transcript.append_message(b"dom-sep", b"rangeproof v1")
-    transcript.append_u64(b"n", n)
-    transcript.append_u64(b"m", m)
-    for vb in V_bytes:
-        # V may be the identity (zero value, zero blinding — the reference's
-        # pow2 padding relies on this; dalek PR #248 explicitly allows it)
-        _append_point(transcript, b"V", vb)
-    if not _validate_and_append(transcript, b"A", proof.A):
-        return False
-    if not _validate_and_append(transcript, b"S", proof.S):
-        return False
-    y = transcript.challenge_scalar(b"y")
-    z = transcript.challenge_scalar(b"z")
-    zz = (z * z) % SS.L
-    if not _validate_and_append(transcript, b"T_1", proof.T_1):
-        return False
-    if not _validate_and_append(transcript, b"T_2", proof.T_2):
-        return False
-    x = transcript.challenge_scalar(b"x")
-    transcript.append_message(b"t_x", SS.to_bytes(proof.t_x))
-    transcript.append_message(b"t_x_blinding", SS.to_bytes(proof.t_x_blinding))
-    transcript.append_message(b"e_blinding", SS.to_bytes(proof.e_blinding))
-    w = transcript.challenge_scalar(b"w")
-
-    c = int.from_bytes(rng.bytes(64), "little") % SS.L  # random combiner
-
-    vs = _ipp_verification_scalars(proof.ipp, nm, transcript)
-    if vs is None:
-        return False
-    u_sq, u_inv_sq, s_vec = vs
-    a, b = proof.ipp.a, proof.ipp.b
-
-    y_inv = pow(y, SS.L - 2, SS.L)
-
-    g_coeffs = [(-z - a * s_i) % SS.L for s_i in s_vec]
-    s_inv = s_vec[::-1]
-    h_coeffs = []
-    y_inv_pow = 1
-    for i in range(nm):
-        zz2 = (zz * pow(z, i // n, SS.L) * pow(2, i % n, SS.L)) % SS.L
-        h_coeffs.append((z + y_inv_pow * (zz2 - b * s_inv[i])) % SS.L)
-        y_inv_pow = (y_inv_pow * y_inv) % SS.L
-
-    basepoint_scalar = (
-        w * (proof.t_x - a * b) + c * (_delta(n, m, y, z) - proof.t_x)
-    ) % SS.L
-    b_blinding_scalar = (-proof.e_blinding - c * proof.t_x_blinding) % SS.L
-    value_scalars = [(c * zz * pow(z, j, SS.L)) % SS.L for j in range(m)]
-
-    # assemble the MSM
-    decode_list = [proof.A, proof.S, proof.T_1, proof.T_2] + proof.ipp.L + proof.ipp.R + V_bytes
-    enc = np.stack([np.frombuffer(bb, np.uint8) for bb in decode_list])
-    pts, valid = curve.decompress(jnp.asarray(fe.from_bytes_array(enc)))
-    if not bool(np.all(np.asarray(valid))):
-        return False
-    lg = len(proof.ipp.L)
-    scalars = (
-        [1, x, (c * x) % SS.L, (c * x * x) % SS.L]
-        + u_sq + u_inv_sq + value_scalars
-    )
-    fixed = curve.pack_points([G.pedersen_B_blinding(), G.pedersen_B()])
-    all_pts = _point_concat(_point_concat(pts, fixed), _point_concat(gens_G, gens_H))
-    all_scalars = scalars + [b_blinding_scalar, basepoint_scalar] + g_coeffs + h_coeffs
-    total = msm.msm(all_pts, jnp.asarray(sc.pack_scalars(all_scalars)))
-    ident = curve.identity((1,))
-    return bool(np.asarray(curve.eq(total, ident))[0])
+    """RangeProof::verify_multiple_with_rng — single-proof wrapper."""
+    return verify_multiple_batch([(transcript, proof, V_bytes)], n, rng)

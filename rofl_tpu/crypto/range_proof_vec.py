@@ -110,6 +110,7 @@ def verify_rangeproof(
     fp: FpConfig,
     prove_range: int,
     rng: np.random.Generator,
+    mesh=None,
 ) -> bool:
     """verify_rangeproof (mod.rs:149-216)."""
     offset = 1 << (prove_range - 1)
@@ -120,9 +121,12 @@ def verify_rangeproof(
 
     shifted += [SR.identity()] * (ext_len - len(shifted))
     chunk = ext_len // len(proofs)
+    items = []
     for c, proof in enumerate(proofs):
         t = Transcript(b"RangeProof")
         v_bytes = [p.compress() for p in shifted[c * chunk:(c + 1) * chunk]]
-        if not RP.verify_multiple(t, proof, v_bytes, prove_range, rng):
-            return False
-    return True
+        items.append((t, proof, v_bytes))
+    # all chunks verify as ONE random-linear-combination mega-MSM (the
+    # reference loops verify_multiple per chunk); with a mesh the MSM
+    # shards its terms over the 'param' axis
+    return RP.verify_multiple_batch(items, prove_range, rng, mesh=mesh)

@@ -3,27 +3,36 @@
 Axes (SURVEY.md §2.5 — the reference's parallelism is rayon/tokio on CPUs;
 here it becomes SPMD over a jax Mesh):
 
-  'client' — data-parallel across FL clients (each device slice holds some
-             clients' training + proving work; server-side aggregation
-             reduces over this axis with collectives)
-  'param'  — the parameter-vector dimension d: commitments/proof vectors
-             shard over lanes of this axis (the reference chunks with rayon
-             + n_partition; BASELINE.json north star shards points/scalars
-             per chip with psum'd bucket reductions)
+  'client' — data-parallel across FL clients (commitment/proof batches per
+             client; server-side aggregation reduces over this axis)
+  'param'  — the parameter-vector dimension d: commitments, Σ-protocol
+             lanes, MSM terms and BSGS walks shard over lanes of this axis
+             (the reference chunks with rayon + n_partition,
+             range_proof_vec/mod.rs:53-78; BASELINE.json's north star
+             shards points/scalars per chip)
 
-The crypto kernels are pure jnp on (16, N) arrays, so sharding N over
-'param' partitions them automatically under jit; cross-client point sums
-use all_gather over 'client' (point addition is a group op, not jnp.sum,
-so reductions gather + tree-add locally).
+The crypto kernels are elementwise over (16, N) lanes, so sharding N over
+'param' partitions them automatically; the only cross-device steps are the
+REDUCTIONS (MSM partial sums, ElGamal accumulation). Point addition is a
+group op, not jnp.sum, so reductions all_gather the per-device partial
+POINTS (4×16 limbs each — bytes, not the sharded vectors) and tree-add
+them locally; everything stays inside one jit so XLA schedules the
+collectives on ICI.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax.experimental.shard_map import shard_map
+
+from ..ops import curve, msm as msm_mod, sc
+from ..ops.curve import PointArray
 
 
 def make_mesh(n_client: int, n_param: int, devices=None) -> Mesh:
@@ -31,6 +40,13 @@ def make_mesh(n_client: int, n_param: int, devices=None) -> Mesh:
     assert devices.size >= n_client * n_param, "not enough devices"
     grid = devices[: n_client * n_param].reshape(n_client, n_param)
     return Mesh(grid, ("client", "param"))
+
+
+def param_mesh(n_param: int | None = None, devices=None) -> Mesh:
+    """1×N mesh with only the 'param' axis (pure d-sharding)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n_param = n_param or devices.size
+    return Mesh(devices[:n_param].reshape(1, n_param), ("client", "param"))
 
 
 def shard_vector(mesh: Mesh, limbs: jnp.ndarray) -> jnp.ndarray:
@@ -41,5 +57,105 @@ def shard_vector(mesh: Mesh, limbs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def shard_points(mesh: Mesh, p: PointArray) -> PointArray:
+    sh = NamedSharding(mesh, PSpec(None, "param"))
+    return PointArray(*[jax.device_put(c, sh) for c in p])
+
+
 def replicate(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, PSpec()))
+
+
+# -- sharded reductions -------------------------------------------------------
+
+
+def _gather_tree_add(p: PointArray, axis_name: str) -> PointArray:
+    """All-gather per-device partial points and tree-add locally — the
+    group-op analogue of psum (point addition can't ride a psum)."""
+    gathered = PointArray(*[
+        jax.lax.all_gather(c, axis_name, axis=1, tiled=True) for c in p
+    ])
+    return curve.tree_sum(gathered, axis=0)
+
+
+def sharded_msm(mesh: Mesh, points: PointArray, scalars: jnp.ndarray
+                ) -> PointArray:
+    """Σ k_i·P_i with the i axis sharded over 'param': local MSM per
+    device, all_gather of the single-point partials, local tree-add.
+    Result is replicated (16, 1) coords."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            (PSpec(None, "param"),) * 4,
+            PSpec(None, "param"),
+        ),
+        out_specs=(PSpec(None, None),) * 4,
+        check_rep=False,
+    )
+    def _run(pts, scal):
+        part = msm_mod.msm(PointArray(*pts), scal)
+        return tuple(_gather_tree_add(part, "param"))
+
+    return PointArray(*_run(tuple(points), scalars))
+
+
+def sharded_commit(mesh: Mesh, table: PointArray, scalars: jnp.ndarray
+                   ) -> PointArray:
+    """Fixed-base commit lanes sharded over 'param' (table replicated);
+    pure elementwise — no collectives."""
+    from ..ops import fixed_base
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=((PSpec(),) * 4, PSpec(None, "param")),
+        out_specs=(PSpec(None, "param"),) * 4,
+        check_rep=False,
+    )
+    def _run(tab, scal):
+        return tuple(fixed_base.mul(PointArray(*tab), scal))
+
+    return PointArray(*_run(tuple(table), scalars))
+
+
+def sharded_pair_add(mesh: Mesh, a, b):
+    """Elementwise homomorphic accumulate of 'param'-sharded ElGamal pair
+    arrays ((L, R) PointArrays) — add_rp_vec_vec under sharding."""
+    spec = (PSpec(None, "param"),) * 4
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_rep=False,
+    )
+    def _run(aL, aR, bL, bR):
+        return (
+            tuple(curve.add(PointArray(*aL), PointArray(*bL))),
+            tuple(curve.add(PointArray(*aR), PointArray(*bR))),
+        )
+
+    L, R = _run(tuple(a.L), tuple(a.R), tuple(b.L), tuple(b.R))
+    return type(a)(PointArray(*L), PointArray(*R))
+
+
+def sharded_bsgs(mesh: Mesh, points: PointArray, table_m: int, n_bits: int):
+    """BSGS extraction with the point lanes sharded over 'param' — each
+    device walks its own lanes against the replicated table (the walk is
+    elementwise; no collectives)."""
+    from ..ops import bsgs
+
+    bsgs.build_table(table_m)  # host-side table build before tracing
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=((PSpec(None, "param"),) * 4,),
+        out_specs=(PSpec(None, "param"), PSpec(None, "param")),
+        check_rep=False,
+    )
+    def _run(pts):
+        # the sorted table rides into the traced program as a replicated
+        # constant (built once on host, lru-cached)
+        return bsgs.solve_discrete_log(PointArray(*pts), table_m, n_bits)
+
+    return _run(tuple(points))

@@ -63,15 +63,24 @@ def test_serialization_roundtrip():
 
 
 def test_rangeproof_vec_pipeline():
-    # non-pow2 length (3) → pads to 4; values span negative/positive
-    values = np.array([0.25, -1.5, 1.25], np.float32)
+    # non-pow2 length (3) → pads to 4; values span negative/positive and
+    # exceed the ±(2^7-1) ulp clip bound, so they must be clipped first
+    # (range_proof_vec/mod.rs:401-417: create on unclipped values errors,
+    # the caller clips with clip_f32_to_range_vec)
+    raw = np.array([0.25, -1.5, 1.25], np.float32)
     prove_range = 8
     blinds = [rand_blinding() for _ in range(3)]
+    try:
+        RPV.create_rangeproof(raw, blinds, FP, prove_range, 1, rng)
+        assert False, "unclipped values must be rejected"
+    except ValueError:
+        pass
+    values = RPV.clip_f32_to_range_vec(raw, FP, prove_range)
     proofs, commits = RPV.create_rangeproof(values, blinds, FP, prove_range, 1, rng)
     assert RPV.verify_rangeproof(proofs, commits, FP, prove_range, rng)
 
-    # commitments decode to the original plaintexts under BSGS with
-    # no-blinding check: commit(x, b) - H^b = B^x; here use zero blindings
+    # commitments decode to the clipped plaintexts under BSGS
+    # (commit(x, 0) = B^x)
     proofs2, commits2 = RPV.create_rangeproof(
         values, [0, 0, 0], FP, prove_range, 1, rng
     )
