@@ -100,12 +100,18 @@ def right_elem_is_identity(pairs: ElGamalPairArray) -> jnp.ndarray:
 # -- blinding generation (host-side secrets) --------------------------------
 
 
-def rnd_scalar_limbs(n: int, rng: np.random.Generator) -> np.ndarray:
+def rnd_scalar_limbs(n: int, rng: np.random.Generator):
     """Uniform scalars mod l: 64 uniform bytes reduced wide, like
-    Scalar::random (pedersen_ops.rs rnd_scalar_vec)."""
+    Scalar::random (pedersen_ops.rs rnd_scalar_vec). The wide reduction
+    runs on device when the Pallas backend is active (the host bigint loop
+    costs ~2.5 µs/element — real money at nm = 2^18)."""
     from ..ops import sc
+    from ..ops.dispatch import use_pallas
 
     raw = rng.integers(0, 256, size=(n, 64), dtype=np.uint8)
+    if use_pallas():
+        cols = jnp.asarray(np.ascontiguousarray(raw.T).astype(np.uint32))
+        return sc.reduce_wide_bytes(cols)
     return sc.from_bytes_wide_array(raw)
 
 

@@ -39,6 +39,19 @@ from . import pedersen
 
 IDENTITY_BYTES = bytes(32)
 
+_TIMING = bool(int(__import__("os").environ.get("ROFL_TIMING", "0")))
+
+
+def _tick(label, ref=[None]):
+    if not _TIMING:
+        return
+    import time as _t
+
+    now = _t.time()
+    if ref[0] is not None:
+        print(f"      [rp] {label}: +{now - ref[0]:.3f}s", flush=True)
+    ref[0] = now
+
 
 # -- generators --------------------------------------------------------------
 
@@ -178,6 +191,7 @@ def prove_multiple(
     lg_nm = nm.bit_length() - 1
     gens_G, gens_H = device_bp_gens(n, m)
 
+    _tick(None)
     transcript.append_message(b"dom-sep", b"rangeproof v1")
     transcript.append_u64(b"n", n)
     transcript.append_u64(b"m", m)
@@ -187,14 +201,14 @@ def prove_multiple(
     gamma_limbs = jnp.asarray(sc.pack_scalars(blindings))
     V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
     V_bytes = _compress_bytes(V)
+    _tick("V commit+compress")
     for vb in V_bytes:
         _append_point(transcript, b"V", vb)
 
-    # bit vectors over the concatenated nm indices
-    bits_np = np.zeros(nm, dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(n):
-            bits_np[j * n + i] = (int(v) >> i) & 1
+    # bit vectors over the concatenated nm indices (vectorized host side)
+    vals_np = np.array([int(v) for v in values], dtype=np.uint64)
+    bits_np = ((vals_np[:, None] >> np.arange(n, dtype=np.uint64)) & 1
+               ).ravel().astype(np.uint32)
     bits = jnp.asarray(bits_np)
     a_L = jnp.zeros((16, nm), jnp.uint32).at[0].set(bits)
     ones = jnp.asarray(sc.pack_scalars([1] * nm))
@@ -214,8 +228,10 @@ def prove_multiple(
         pedersen.base_H().mul(_const(s_blinding)),
         curve.add(msm.msm(gens_G, s_L), msm.msm(gens_H, s_R)),
     )
+    _tick("A+S points")
     A_bytes = _compress_bytes(A_pt)[0]
     S_bytes = _compress_bytes(S_pt)[0]
+    _tick("A/S compress")
     _append_point(transcript, b"A", A_bytes)
     _append_point(transcript, b"S", S_bytes)
 
@@ -223,12 +239,10 @@ def prove_multiple(
     z = transcript.challenge_scalar(b"z")
     zz = (z * z) % SS.L
 
-    # vectors: exp_y[k]=y^k; zz2[k]=z^2·z^j·2^i for k=j·n+i
+    # vectors: exp_y[k]=y^k; zz2[k]=z^2·z^j·2^i for k=j·n+i (device powers,
+    # not an nm-long host bigint loop)
     exp_y = sc.powers(_const(y), nm)
-    zz2_np = sc.pack_scalars(
-        [(zz * pow(z, k // n, SS.L) * pow(2, k % n, SS.L)) % SS.L for k in range(nm)]
-    )
-    zz2 = jnp.asarray(zz2_np)
+    zz2 = _zz2_vec(n, m, z, zz)
     z_vec = jnp.broadcast_to(_const(z), (16, nm))
 
     l0 = sc.sub(a_L, z_vec)
@@ -239,6 +253,7 @@ def prove_multiple(
     t0 = sc.inner_product(l0, r0, axis=0)
     t2 = sc.inner_product(l1, r1, axis=0)
     t1_full = sc.inner_product(sc.add(l0, l1), sc.add(r0, r1), axis=0)
+    _tick("t-poly device")
     t0_i, t2_i, t1f_i = (
         sc.unpack_scalars(np.asarray(t0))[0],
         sc.unpack_scalars(np.asarray(t2))[0],
@@ -246,6 +261,7 @@ def prove_multiple(
     )
     t1_i = (t1f_i - t0_i - t2_i) % SS.L
 
+    _tick("t sync")
     t_1_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
     t_2_blinding = int(sc.unpack_scalars(pedersen.rnd_scalar_limbs(1, rng))[0])
     T = pedersen.pedersen_commit(
@@ -281,7 +297,9 @@ def prove_multiple(
     # scalar vectors — the group outputs are bit-identical.
     y_inv = pow(y, SS.L - 2, SS.L)
 
+    _tick("T/x/lr vectors")
     ipp = _ipp_create(transcript, Q, gens_G, gens_H, l_vec, r_vec, nm, y_inv)
+    _tick("ipp total")
 
     proof = RangeProof(
         A_bytes, S_bytes, T_bytes[0], T_bytes[1], t_x, t_x_blinding,
@@ -337,6 +355,7 @@ def _ipp_create(
         G_L, G_R = _point_slice(G_pts, slice(0, h)), _point_slice(G_pts, slice(h, s))
         H_L, H_R = _point_slice(H_pts, slice(0, h)), _point_slice(H_pts, slice(h, s))
 
+        _tick(None)
         c_L = sc.inner_product(a_L, b_R)
         c_R = sc.inner_product(a_R, b_L)
 
@@ -353,7 +372,9 @@ def _ipp_create(
         )
         R_pt = msm.msm(_point_concat(_point_concat(G_L, H_R), Q), R_scal)
 
+        _tick(f"  rnd s={s} L/R msm dispatch")
         both = _compress_bytes(_point_concat(L_pt, R_pt))
+        _tick(f"  rnd s={s} compress+sync")
         Lb, Rb = both[0], both[1]
         L_bytes.append(Lb)
         R_bytes.append(Rb)
@@ -375,6 +396,7 @@ def _ipp_create(
             )
             gp = (gp * u_inv) % SS.L
             ch = (ch * u) % SS.L
+        _tick(f"  rnd s={s} folds dispatch")
         s = h
 
     a_final = sc.unpack_scalars(np.asarray(a[:, :1]))[0]

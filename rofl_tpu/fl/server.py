@@ -270,7 +270,17 @@ class FlServiceServicer:
                     client_id = req.start_message.client_id
                     state = self.states[model_id]
                     if state.status not in ("register",):
+                        # training already started: answer STATUS_LATE and
+                        # end the stream instead of leaving the client
+                        # hanging (ref server.rs:583-591)
                         logger.warning("late registration from %d", client_id)
+                        late = pb.TrainResponse()
+                        late.done_message.status = pb.STATUS_LATE
+                        await queue.put(late)
+                        done = pb.TrainResponse()
+                        done.done_message.status = pb.STATUS_DONE
+                        await queue.put(done)
+                        state = None
                         continue
                     state.client_queues[client_id] = queue
                     logger.info("registered client %d (%d/%d)", client_id,
@@ -289,7 +299,21 @@ class FlServiceServicer:
                         storage.apply(p.param_block.block_number, p.param_block.data)
                         if storage.is_done():
                             data = storage.data()
+                            upload_round = storage.round_id
                             storage.init(-1, 0)
+                            # a straggler's stale-round upload must NOT be
+                            # accumulated into the current round (the
+                            # reference's DataBlockStorage round-id check,
+                            # util.rs:30-44)
+                            current = (state.current_round()
+                                       if state.rounds else None)
+                            if current is None or upload_round != current.round_id:
+                                logger.warning(
+                                    "dropping stale upload from client %d: "
+                                    "round %d != current %d", client_id,
+                                    upload_round,
+                                    -1 if current is None else current.round_id)
+                                continue
                             asyncio.create_task(
                                 state.handle_client_update(client_id, data)
                             )

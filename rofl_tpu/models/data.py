@@ -46,9 +46,19 @@ def load_dataset(name: str, split: str = "train", n_synth: int = 2048,
     if name in ("cifar10", "cifar"):
         return _synthetic((32, 32, 3), 10, n_synth, seed)
     if name == "shakespeare":
+        # synthetic char stream with LEAF-style windows: order-1 Markov
+        # text, y = next char AFTER the 80-char window (requires actually
+        # modelling the sequence, unlike a copy-last-char task)
         rng = np.random.default_rng(seed)
-        x = rng.integers(0, 90, size=(n_synth, 80)).astype(np.int32)
-        y = x[:, -1]  # predictable next-char task
+        vocab = 90
+        trans = rng.dirichlet(np.full(vocab, 0.05), size=vocab)
+        stream = np.empty(n_synth + 81, np.int32)
+        stream[0] = rng.integers(0, vocab)
+        for i in range(1, len(stream)):
+            stream[i] = rng.choice(vocab, p=trans[stream[i - 1]])
+        idx = np.arange(n_synth)[:, None] + np.arange(80)[None, :]
+        x = stream[idx].astype(np.int32)
+        y = stream[np.arange(n_synth) + 80]
         return x, y.astype(np.int32)
     raise KeyError(f"unknown dataset {name}")
 

@@ -117,21 +117,24 @@ class ResNet18(nn.Module):
 
 
 class CharLSTM(nn.Module):
-    """Character-level model for the Shakespeare next-char task
-    (e2e_table.csv:15-16). GRU-based (OptimizedLSTMCell-compatible sizes)."""
+    """Character-level LSTM for the Shakespeare next-char task (LEAF:
+    80-char window → 81st char; e2e_table.csv:15-16). A real 2-layer
+    stacked LSTM scanned over time with lax.scan (one compiled cell body),
+    final hidden state → vocab logits."""
 
     vocab: int = 90
     hidden: int = 128
+    layers: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        emb = nn.Embed(self.vocab, 8)(x)
-        cell = nn.GRUCell(features=self.hidden)
-        carry = cell.initialize_carry(jax.random.PRNGKey(0), emb[:, 0].shape)
-        outs = []
-        for t in range(emb.shape[1]):
-            carry, y = cell(carry, emb[:, t])
-        return nn.Dense(self.vocab)(y)
+        emb = nn.Embed(self.vocab, 8)(x)  # (B, T, 8)
+        h = emb
+        for _ in range(self.layers):
+            cell = nn.OptimizedLSTMCell(features=self.hidden)
+            scan = nn.RNN(cell)
+            h = scan(h)  # (B, T, hidden)
+        return nn.Dense(self.vocab)(h[:, -1])
 
 
 MODEL_REGISTRY: dict[str, Any] = {

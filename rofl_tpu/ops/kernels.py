@@ -311,9 +311,27 @@ def _write_pt(refs, p):
 # =============================================================================
 
 
+def _tile_for(n: int, cap: int = TILE) -> int:
+    """Block width: capped, 128-aligned, pow2 below the cap — so small
+    shapes share a handful of (block, grid) combos instead of one each."""
+    if n >= cap:
+        return cap
+    b = -(-n // 128)
+    return 128 * (1 << (b - 1).bit_length()) if b > 1 else 128
+
+
+def _grid_blocks(n: int, tile: int) -> int:
+    """Blocks per grid, rounded up to a power of two: Mosaic recompiles per
+    (kernel, block, GRID) triple, so bucketing grids to pow2 keeps the
+    number of distinct compiles logarithmic instead of linear in the shape
+    zoo (compile time through the remote AOT helper is ~minutes each)."""
+    b = -(-n // tile)
+    return 1 << (b - 1).bit_length() if b > 1 else 1
+
+
 def _pad_lanes(arr, tile):
     n = arr.shape[-1]
-    m = -(-n // tile) * tile
+    m = _grid_blocks(n, tile) * tile
     if m == n:
         return arr
     pad = [(0, 0)] * (arr.ndim - 1) + [(0, m - n)]
@@ -351,7 +369,7 @@ def point_add(p, q):
     q = tuple(jnp.broadcast_to(c, shapes) for c in q)
     p = _pt_flat(p)
     q = _pt_flat(q)
-    tile = min(TILE, p[0].shape[-1])
+    tile = _tile_for(p[0].shape[-1])
     pp = tuple(_pad_lanes(c, tile) for c in p)
     qq = tuple(_pad_lanes(c, tile) for c in q)
     m = pp[0].shape[-1]
@@ -372,7 +390,7 @@ def point_add(p, q):
 def point_double(p):
     shapes = p[0].shape
     p = _pt_flat(p)
-    tile = min(TILE, p[0].shape[-1])
+    tile = _tile_for(p[0].shape[-1])
     pp = tuple(_pad_lanes(c, tile) for c in p)
     m = pp[0].shape[-1]
     spec = _block_specs(m // tile, tile)
@@ -414,7 +432,7 @@ def _scalar_mul_kernel(k, px, py, pz, pt, ox, oy, oz, ot):
 
 def _scalar_mul_tile(n: int) -> int:
     # ladder carries ~2 points + temporaries; keep blocks modest
-    return min(512, -(-n // 128) * 128)
+    return _tile_for(n, cap=512)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -466,9 +484,10 @@ def _block_sum_kernel(px, py, pz, pt, ox, oy, oz, ot):
 
 
 def _pad_identity(c, coord_idx, tile):
-    """Pad lanes to a tile multiple with identity coords (0,1,1,0)."""
+    """Pad lanes to a pow2-grid tile multiple with identity coords
+    (0,1,1,0)."""
     n = c.shape[-1]
-    m = -(-n // tile) * tile
+    m = _grid_blocks(n, tile) * tile
     if m == n:
         return c
     fill = np.zeros((NLIMB, m - n), np.uint32)
@@ -546,7 +565,7 @@ def compress(p):
     shapes = p[0].shape
     p = _pt_flat(p)
     n = p[0].shape[-1]
-    tile = min(TILE, -(-n // 128) * 128)
+    tile = _tile_for(n)
     pp = tuple(_pad_identity(c, i, tile) for i, c in enumerate(p))
     m = pp[0].shape[-1]
     spec = _block_specs(m // tile, tile)
@@ -596,7 +615,7 @@ def decompress(s):
     shape = s.shape
     s = s.reshape(NLIMB, -1)
     n = s.shape[-1]
-    tile = min(TILE, -(-n // 128) * 128)
+    tile = _tile_for(n)
     ss = _pad_lanes(s, tile)
     m = ss.shape[-1]
     spec = _block_specs(m // tile, tile)
@@ -859,7 +878,7 @@ def sc_mul(a, b):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
-    tile = min(TILE, a.shape[-1])
+    tile = _tile_for(a.shape[-1])
     aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
     m = aa.shape[-1]
     spec = _block_specs(m // tile, tile)
@@ -874,6 +893,37 @@ def sc_mul(a, b):
     return out[:, : a.shape[-1]].reshape(shape)
 
 
+def _sc_reduce_wide_kernel(b_ref, o_ref):
+    """(64, T) LE byte columns → canonical scalars (Scalar::
+    from_bytes_mod_order_wide)."""
+    limbs = [
+        b_ref[2 * k:2 * k + 1, :] | (b_ref[2 * k + 1:2 * k + 2, :] << 8)
+        for k in range(32)
+    ]
+    o_ref[:, :] = _stack(_s_reduce_512(limbs))
+
+
+@functools.partial(jax.jit, static_argnums=())
+def sc_reduce_wide(byte_cols):
+    """(64, N) uint32 byte columns → (16, N) canonical scalars."""
+    n = byte_cols.shape[-1]
+    tile = _tile_for(n)
+    bb = _pad_lanes(byte_cols, tile)
+    m = bb.shape[-1]
+    in_spec = pl.BlockSpec((64, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = _block_specs(m // tile, tile)
+    out = pl.pallas_call(
+        _sc_reduce_wide_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
+        grid=(m // tile,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        interpret=_interpret(),
+    )(bb)
+    return out[:, :n]
+
+
 def _sc_sub_kernel(a_ref, b_ref, o_ref):
     o_ref[:, :] = _stack(s_sub(_unstack(a_ref[:, :]), _unstack(b_ref[:, :])))
 
@@ -885,7 +935,7 @@ def sc_sub(a, b):
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
     n = a.shape[-1]
-    tile = min(TILE, -(-n // 128) * 128)
+    tile = _tile_for(n)
     aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
     m = aa.shape[-1]
     spec = _block_specs(m // tile, tile)
@@ -923,7 +973,7 @@ def sc_add(a, b):
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
     n = a.shape[-1]
-    tile = min(TILE, -(-n // 128) * 128)
+    tile = _tile_for(n)
     aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
     m = aa.shape[-1]
     spec = _block_specs(m // tile, tile)

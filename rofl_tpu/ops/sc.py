@@ -307,13 +307,21 @@ def _reduce_512(limbs: list) -> jnp.ndarray:
     return _reduce_to_canonical(_trim(v3, 254), 3)
 
 
-@jax.jit
 def reduce_wide_bytes(byte_cols: jnp.ndarray) -> jnp.ndarray:
     """(64, N) uint32 byte columns (LE) → canonical scalars (16, N).
 
     Scalar::from_bytes_mod_order_wide on device — turns batched transcript
     challenge bytes into challenge scalars without a host round-trip.
     """
+    if use_pallas():
+        from . import kernels
+
+        return kernels.sc_reduce_wide(byte_cols)
+    return _reduce_wide_bytes_jnp(byte_cols)
+
+
+@jax.jit
+def _reduce_wide_bytes_jnp(byte_cols: jnp.ndarray) -> jnp.ndarray:
     limbs = [byte_cols[2 * k] | (byte_cols[2 * k + 1] << 8) for k in range(32)]
     return _reduce_512(limbs)
 

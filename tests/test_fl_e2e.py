@@ -52,6 +52,146 @@ def test_plain_two_rounds():
                                np.full(11, 0.002, np.float32), atol=1e-6)
 
 
+def _cancelling_fns(n_clients, n_params, rounds=1, seed=55):
+    rng = np.random.default_rng(seed)
+    per_round = {r: pedersen.cancelling_scalar_limbs(n_clients, n_params, rng)
+                 for r in range(rounds)}
+
+    def make_fn(i):
+        def fn(round_id, n):
+            return per_round[round_id][i]
+        return fn
+
+    return [make_fn(i) for i in range(n_clients)]
+
+
+@pytest.mark.parametrize("enc_type", [
+    P.ENC_L2_TYPE, P.ENC_RANGE_COMPRESSED_TYPE, P.ENC_L2_COMPRESSED_TYPE,
+])
+def test_all_crypto_modes_over_grpc(enc_type):
+    """EncL2 / EncRangeCompressed / EncL2Compressed cross the real gRPC
+    wire: serialize → deserialize → verify → accumulate → extract
+    (VERDICT r1 item 5; ref configs exercise all five modes,
+    ansible/experiments/mnist_e2e.yml)."""
+    n_params = 4
+    n_clients = 2
+    cfg = ServerConfig(
+        model_id=1, num_clients=n_clients, num_params=n_params, num_rounds=1,
+        learning_rate=1.0, enc_type=enc_type, write_model_file=False,
+        bench_dir=None,
+        crypto=P.CryptoConfig(value_range=8, n_partition=1, l2_value_range=16,
+                              enc_type=enc_type),
+    )
+    state, clients = run_fl(
+        cfg, n_clients, 50160 + enc_type,
+        blinding_fns=_cancelling_fns(n_clients, n_params, seed=60 + enc_type))
+    assert state.status == "done"
+    # dummy updates are +0.001 → quantize to 0 at frac7; the unity()
+    # extraction bias (+1 ulp) averages to 1/(128·n_clients)
+    expected = np.float32(1 / 128) / n_clients
+    np.testing.assert_allclose(state.global_model,
+                               np.full(n_params, expected, np.float32),
+                               atol=1e-6)
+
+
+def test_tampered_upload_fails_round():
+    """A client that flips a byte in its serialized proof payload must fail
+    the round (server marks the state failed), like the reference's
+    verification panic (server.rs:474-484)."""
+    n_params = 4
+    n_clients = 2
+
+    cfg = ServerConfig(
+        model_id=1, num_clients=n_clients, num_params=n_params, num_rounds=1,
+        learning_rate=1.0, enc_type=P.ENC_RANGE_TYPE, write_model_file=False,
+        bench_dir=None,
+        crypto=P.CryptoConfig(value_range=8, n_partition=1,
+                              enc_type=P.ENC_RANGE_TYPE),
+    )
+
+    fns = _cancelling_fns(n_clients, n_params, seed=99)
+
+    async def main():
+        state = TrainingState(cfg)
+        server = make_server({cfg.model_id: state}, "127.0.0.1:50171")
+        await server.start()
+        clients = [
+            FlServiceClient("127.0.0.1:50171", cfg.model_id, i,
+                            DummyTrainer(), blinding_fn=fns[i])
+            for i in range(n_clients)
+        ]
+        # client 1 tampers: corrupt a byte deep inside the proof payload
+        orig = clients[1]._encrypt
+
+        def tampered(plaintext, round_id):
+            data = bytearray(orig(plaintext, round_id))
+            data[len(data) // 2] ^= 0x55
+            return bytes(data)
+
+        clients[1]._encrypt = tampered
+        tasks = [asyncio.create_task(c.train_model()) for c in clients]
+        try:
+            await asyncio.wait_for(state.done_event.wait(), 300)
+        finally:
+            for t in tasks:
+                t.cancel()
+        await server.stop(0.5)
+        return state
+
+    state = asyncio.run(main())
+    assert state.status == "failed"
+    # the global model must not have been updated with tampered data
+    np.testing.assert_array_equal(state.global_model,
+                                  np.zeros(n_params, np.float32))
+
+
+def test_late_registration_gets_status_late():
+    """A client registering after training started receives STATUS_LATE and
+    a clean stream end (ref server.rs:583-591) instead of hanging."""
+    from rofl_tpu.fl import proto as pb
+
+    cfg = ServerConfig(
+        model_id=1, num_clients=1, num_params=4, num_rounds=1,
+        learning_rate=1.0, enc_type=P.PLAIN_TYPE, write_model_file=False,
+        bench_dir=None,
+    )
+
+    async def main():
+        state = TrainingState(cfg)
+        server = make_server({cfg.model_id: state}, "127.0.0.1:50172")
+        await server.start()
+        c0 = FlServiceClient("127.0.0.1:50172", cfg.model_id, 0,
+                             DummyTrainer())
+        t0 = asyncio.create_task(c0.train_model())
+        await asyncio.wait_for(state.done_event.wait(), 300)
+        # now register late
+        import grpc.aio
+
+        statuses = []
+        async with grpc.aio.insecure_channel("127.0.0.1:50172") as ch:
+            method = ch.stream_stream(
+                "/flservice.Flservice/TrainModel",
+                request_serializer=lambda m: m.SerializeToString(),
+                response_deserializer=pb.TrainResponse.FromString,
+            )
+            req = pb.TrainRequest()
+            req.start_message.model_id = cfg.model_id
+            req.start_message.client_id = 99
+
+            async def gen():
+                yield req
+
+            async for resp in method(gen()):
+                if resp.WhichOneof("param_message") == "done_message":
+                    statuses.append(resp.done_message.status)
+        await t0
+        await server.stop(0.5)
+        return statuses
+
+    statuses = asyncio.run(main())
+    assert pb.STATUS_LATE in statuses
+
+
 def test_enc_range_round_with_cancelling_blindings():
     n_params = 4
     n_clients = 2
