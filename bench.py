@@ -44,12 +44,15 @@ def main():
     n_part = int(os.environ.get("ROFL_BENCH_PART", 16))
     reps = int(os.environ.get("ROFL_BENCH_REPS", 2))
     fp = FpConfig(16, 7)
-    cfg = P.CryptoConfig(value_range=8, n_partition=n_part, l2_value_range=32,
+    cfg = P.CryptoConfig(value_range=8, n_partition=n_part, l2_value_range=16,
                          check_percentage=1.0, enc_type=P.ENC_L2_TYPE, fp=fp)
     rng = np.random.default_rng(7)
-    lo, hi = fp.clip_bounds(8)
-    # keep the L2 norm inside the l2 clip bound like the reference e2e
-    vals = (rng.uniform(lo, hi, d) * 0.05).astype(np.float32)
+    # element scale per the reference's own L2 bench
+    # (l2rangeproof_bench.rs:44-49): |v| <= sqrt(l2_bound/d)/2^frac/10 so the
+    # fixed-point norm sum cannot overflow the 16-bit decode window. The
+    # crypto cost is value-independent.
+    elem = (fp.l2_clip_bound(16) / d) ** 0.5 / fp.scale / 10.0
+    vals = rng.uniform(-elem, elem, d).astype(np.float32)
     blind = jnp.asarray(pedersen.rnd_scalar_limbs(d, rng))
 
     def prove():

@@ -308,6 +308,291 @@ def prove_multiple(
     return proof, V_bytes
 
 
+def _consts(xs: list[int]) -> jnp.ndarray:
+    return jnp.asarray(sc.pack_scalars(xs))
+
+
+def _tile_points(p: PointArray, g: int) -> PointArray:
+    return PointArray(*[jnp.tile(c, (1, g)) for c in p])
+
+
+def _p3(p: PointArray, G: int, s: int) -> PointArray:
+    return PointArray(*[c.reshape(16, G, s) for c in p])
+
+
+def _pflat(p: PointArray) -> PointArray:
+    return PointArray(*[c.reshape(16, -1) for c in p])
+
+
+def _pslice3(p: PointArray, sl) -> PointArray:
+    return PointArray(*[c[:, :, sl] for c in p])
+
+
+def _pconcat3(a: PointArray, b: PointArray) -> PointArray:
+    return PointArray(*[
+        jnp.concatenate([x, y], axis=2) for x, y in zip(a, b)
+    ])
+
+
+def prove_multiple_batch(
+    transcripts: list[Transcript],
+    values_chunks: list[list[int]],
+    blind_chunks: list[list[int]],
+    n: int,
+    rng: np.random.Generator,
+) -> tuple[list[RangeProof], list[list[bytes]]]:
+    """All n_partition chunks proved in ONE device flow.
+
+    The reference proves chunks in parallel rayon tasks
+    (range_proof_vec/mod.rs:53-78); the TPU-native equivalent batches the
+    chunk axis into the lanes: every per-round op (inner products, L/R
+    MSMs, basis folds) runs once over (G · n_k) lanes with group-local
+    reductions, so device dispatches per IPA round drop ~G-fold and the
+    small late rounds keep full VPU occupancy. Each chunk still has its
+    own Merlin transcript (host) and its own challenges; the emitted
+    proofs are protocol-identical to sequential prove_multiple calls.
+
+    Requires G power-of-two (group reductions) — callers fall back to the
+    sequential path otherwise.
+    """
+    G_n = len(values_chunks)
+    m = len(values_chunks[0])
+    nm = n * m
+    L = G_n * nm
+    gens_G, gens_H = device_bp_gens(n, m)
+    gens_G_t = _tile_points(gens_G, G_n)
+    gens_H_t = _tile_points(gens_H, G_n)
+
+    # V commitments, all chunks at once
+    all_vals = [v for ch in values_chunks for v in ch]
+    all_blinds = [b for ch in blind_chunks for b in ch]
+    v_limbs = _consts(all_vals)
+    gamma_limbs = _consts(all_blinds)
+    V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
+    V_bytes_all = _compress_bytes(V)
+    V_chunks = [V_bytes_all[g * m:(g + 1) * m] for g in range(G_n)]
+    for t, vbs in zip(transcripts, V_chunks):
+        t.append_message(b"dom-sep", b"rangeproof v1")
+        t.append_u64(b"n", n)
+        t.append_u64(b"m", m)
+        for vb in vbs:
+            _append_point(t, b"V", vb)
+
+    # bit vectors
+    vals_np = np.array([int(v) for v in all_vals], dtype=np.uint64)
+    bits_np = ((vals_np[:, None] >> np.arange(n, dtype=np.uint64)) & 1
+               ).ravel().astype(np.uint32)
+    bits = jnp.asarray(bits_np)
+    a_L = jnp.zeros((16, L), jnp.uint32).at[0].set(bits)
+    one_vec = jnp.zeros((16, 1), jnp.uint32).at[0, 0].set(1)
+    a_R = sc.sub(a_L, jnp.broadcast_to(one_vec, (16, L)))
+
+    # A_g = H^a_blind_g + Σ_g-group (bit ? G_i : -H_i)
+    a_blind = pedersen.rnd_scalar_limbs(G_n, rng)
+    terms = curve.select(bits == 1, gens_G_t, curve.neg(gens_H_t))
+    A_pt = curve.add(pedersen.base_H().mul(jnp.asarray(a_blind)),
+                     curve.tree_sum_groups(terms, nm))
+
+    # S_g = H^s_blind_g + <s_L, G> + <s_R, H> (per group)
+    s_blind = pedersen.rnd_scalar_limbs(G_n, rng)
+    s_L = jnp.asarray(pedersen.rnd_scalar_limbs(L, rng)).reshape(16, G_n, nm)
+    s_R = jnp.asarray(pedersen.rnd_scalar_limbs(L, rng)).reshape(16, G_n, nm)
+    bases_GH = _tile_points(
+        PointArray(*[jnp.concatenate([g, h], axis=1)
+                     for g, h in zip(gens_G, gens_H)]), G_n)
+    s_cat = jnp.concatenate([s_L, s_R], axis=2).reshape(16, 2 * L)
+    S_pt = curve.add(
+        pedersen.base_H().mul(jnp.asarray(s_blind)),
+        curve.tree_sum_groups(curve.scalar_mul(bases_GH, s_cat), 2 * nm))
+
+    AS_bytes = _compress_bytes(PointArray(*[
+        jnp.concatenate([a, s], axis=1) for a, s in zip(A_pt, S_pt)
+    ]))
+    ys, zs = [], []
+    for g, t in enumerate(transcripts):
+        _append_point(t, b"A", AS_bytes[g])
+        _append_point(t, b"S", AS_bytes[G_n + g])
+        ys.append(t.challenge_scalar(b"y"))
+        zs.append(t.challenge_scalar(b"z"))
+    zzs = [(z * z) % SS.L for z in zs]
+
+    # per-chunk vectors (one-time per prove: small host loop of device ops)
+    exp_y = jnp.concatenate(
+        [sc.powers(_const(y), nm) for y in ys], axis=1)
+    zz2 = jnp.concatenate(
+        [_zz2_vec(n, m, z, zz) for z, zz in zip(zs, zzs)], axis=1)
+    z_rep = jnp.repeat(_consts(zs), nm, axis=1)
+
+    l0 = sc.sub(a_L, z_rep)
+    l1 = s_L.reshape(16, L)
+    r0 = sc.add(sc.mul(exp_y, sc.add(a_R, z_rep)), zz2)
+    r1 = sc.mul(exp_y, s_R.reshape(16, L))
+
+    t0 = sc.sum_reduce_groups(sc.mul(l0, r0), nm)
+    t2 = sc.sum_reduce_groups(sc.mul(l1, r1), nm)
+    t1f = sc.sum_reduce_groups(sc.mul(sc.add(l0, l1), sc.add(r0, r1)), nm)
+    t0_i = sc.unpack_scalars(np.asarray(t0))
+    t2_i = sc.unpack_scalars(np.asarray(t2))
+    t1f_i = sc.unpack_scalars(np.asarray(t1f))
+    t1_i = [(f - a0 - a2) % SS.L for f, a0, a2 in zip(t1f_i, t0_i, t2_i)]
+
+    t1_blind = sc.unpack_scalars(pedersen.rnd_scalar_limbs(G_n, rng))
+    t2_blind = sc.unpack_scalars(pedersen.rnd_scalar_limbs(G_n, rng))
+    T_vals = _consts(t1_i + t2_i)           # (16, 2G): T1s then T2s
+    T_blinds = _consts(t1_blind + t2_blind)
+    T = pedersen.pedersen_commit(T_vals, T_blinds)
+    T_bytes = _compress_bytes(T)
+    xs = []
+    for g, t in enumerate(transcripts):
+        _append_point(t, b"T_1", T_bytes[g])
+        _append_point(t, b"T_2", T_bytes[G_n + g])
+        xs.append(t.challenge_scalar(b"x"))
+
+    t_xs, t_x_blinds, e_blinds, ws = [], [], [], []
+    for g, t in enumerate(transcripts):
+        x = xs[g]
+        z, zz = zs[g], zzs[g]
+        t_x = (t0_i[g] + t1_i[g] * x + t2_i[g] * x * x) % SS.L
+        t_x_blinding = (
+            sum(zz * pow(z, j, SS.L) * blind_chunks[g][j] for j in range(m))
+            + x * t1_blind[g] + x * x * t2_blind[g]
+        ) % SS.L
+        a_bl = sc.unpack_scalars(np.asarray(a_blind))[g]
+        s_bl = sc.unpack_scalars(np.asarray(s_blind))[g]
+        e_blinding = (a_bl + x * s_bl) % SS.L
+        t.append_message(b"t_x", SS.to_bytes(t_x))
+        t.append_message(b"t_x_blinding", SS.to_bytes(t_x_blinding))
+        t.append_message(b"e_blinding", SS.to_bytes(e_blinding))
+        ws.append(t.challenge_scalar(b"w"))
+        t_xs.append(t_x)
+        t_x_blinds.append(t_x_blinding)
+        e_blinds.append(e_blinding)
+
+    x_rep = _consts(xs)[:, :, None]  # (16, G, 1)
+    a_vec = sc.add(l0.reshape(16, G_n, nm),
+                   sc.mul(l1.reshape(16, G_n, nm), x_rep))
+    b_vec = sc.add(r0.reshape(16, G_n, nm),
+                   sc.mul(r1.reshape(16, G_n, nm), x_rep))
+
+    y_invs = [pow(y, SS.L - 2, SS.L) for y in ys]
+    ipps = _ipp_create_batch(transcripts, ws, gens_G_t, gens_H_t,
+                             a_vec, b_vec, nm, y_invs)
+
+    proofs = []
+    for g in range(G_n):
+        proofs.append(RangeProof(
+            AS_bytes[g], AS_bytes[G_n + g], T_bytes[g], T_bytes[G_n + g],
+            t_xs[g], t_x_blinds[g], e_blinds[g], ipps[g],
+        ))
+    return proofs, V_chunks
+
+
+def _ipp_create_batch(
+    transcripts: list[Transcript],
+    ws: list[int],
+    G_pts: PointArray,
+    H_pts: PointArray,
+    a: jnp.ndarray,   # (16, G, nm)
+    b: jnp.ndarray,
+    n: int,
+    y_invs: list[int],
+) -> list[InnerProductProof]:
+    """Chunk-batched InnerProductProof::create (factored folds as in
+    _ipp_create, with per-chunk pending scalars and the w_g·Q term folded
+    into a fixed-base B multiply so group sizes stay pow2)."""
+    G_n = len(transcripts)
+    for t in transcripts:
+        t.append_message(b"dom-sep", b"ipp v1")
+        t.append_u64(b"n", n)
+
+    y_inv_pows = jnp.stack(
+        [sc.powers(_const(yi), max(n // 2, 1)) for yi in y_invs], axis=1
+    ) if n > 1 else None  # (16, G, n/2)
+
+    Gc = _p3(G_pts, G_n, n)
+    Hc = _p3(H_pts, G_n, n)
+    gps = [1] * G_n
+    chs = [1] * G_n
+    L_bytes: list[list[bytes]] = [[] for _ in range(G_n)]
+    R_bytes: list[list[bytes]] = [[] for _ in range(G_n)]
+    base_B = pedersen.base_B()
+
+    s = n
+    while s > 1:
+        h = s // 2
+        a_L, a_R = a[:, :, :h], a[:, :, h:s]
+        b_L, b_R = b[:, :, :h], b[:, :, h:s]
+        G_L, G_R = _pslice3(Gc, slice(0, h)), _pslice3(Gc, slice(h, s))
+        H_L, H_R = _pslice3(Hc, slice(0, h)), _pslice3(Hc, slice(h, s))
+
+        c_L = sc.sum_reduce_groups(
+            sc.mul(a_L, b_R).reshape(16, -1), h)        # (16, G)
+        c_R = sc.sum_reduce_groups(
+            sc.mul(a_R, b_L).reshape(16, -1), h)
+
+        ypend = sc.mul(y_inv_pows[:, :, :h], _consts(chs)[:, :, None])
+        gp_rep = _consts(gps)[:, :, None]
+        yRs = [pow(yi, h, SS.L) for yi in y_invs]
+
+        LR_bases = _pconcat3(G_R, H_L)                  # (16, G, s)
+        L_scal = jnp.concatenate(
+            [sc.mul(a_L, gp_rep), sc.mul(b_R, ypend)], axis=2
+        ).reshape(16, -1)
+        L_sum = curve.tree_sum_groups(
+            curve.scalar_mul(_pflat(LR_bases), L_scal), s)
+        wq_L = sc.mul(c_L, _consts(ws))
+        L_pt = curve.add(L_sum, base_B.mul(wq_L))
+
+        RL_bases = _pconcat3(G_L, H_R)
+        R_scal = jnp.concatenate(
+            [sc.mul(a_R, gp_rep),
+             sc.mul(b_L, sc.mul(ypend, _consts(yRs)[:, :, None]))], axis=2
+        ).reshape(16, -1)
+        R_sum = curve.tree_sum_groups(
+            curve.scalar_mul(_pflat(RL_bases), R_scal), s)
+        wq_R = sc.mul(c_R, _consts(ws))
+        R_pt = curve.add(R_sum, base_B.mul(wq_R))
+
+        both = _compress_bytes(PointArray(*[
+            jnp.concatenate([l, r], axis=1) for l, r in zip(L_pt, R_pt)
+        ]))
+        us, u_invs = [], []
+        for g, t in enumerate(transcripts):
+            Lb, Rb = both[g], both[G_n + g]
+            L_bytes[g].append(Lb)
+            R_bytes[g].append(Rb)
+            _append_point(t, b"L", Lb)
+            _append_point(t, b"R", Rb)
+            u = t.challenge_scalar(b"u")
+            us.append(u)
+            u_invs.append(pow(u, SS.L - 2, SS.L))
+
+        u_rep = _consts(us)[:, :, None]
+        uinv_rep = _consts(u_invs)[:, :, None]
+        a = sc.add(sc.mul(a_L, u_rep), sc.mul(a_R, uinv_rep))
+        b = sc.add(sc.mul(b_L, uinv_rep), sc.mul(b_R, u_rep))
+        if h > 1:
+            usq = [(u * u) % SS.L for u in us]
+            uisq_yR = [((ui * ui) % SS.L) * yR % SS.L
+                       for ui, yR in zip(u_invs, yRs)]
+            usq_flat = jnp.repeat(_consts(usq), h, axis=1)
+            uisq_flat = jnp.repeat(_consts(uisq_yR), h, axis=1)
+            Gc = _p3(curve.add(
+                _pflat(G_L), curve.scalar_mul(_pflat(G_R), usq_flat)
+            ), G_n, h)
+            Hc = _p3(curve.add(
+                _pflat(H_L), curve.scalar_mul(_pflat(H_R), uisq_flat)
+            ), G_n, h)
+            gps = [(gp * ui) % SS.L for gp, ui in zip(gps, u_invs)]
+            chs = [(c * u) % SS.L for c, u in zip(chs, us)]
+        s = h
+
+    a_fin = sc.unpack_scalars(np.asarray(a.reshape(16, G_n)))
+    b_fin = sc.unpack_scalars(np.asarray(b.reshape(16, G_n)))
+    return [InnerProductProof(L_bytes[g], R_bytes[g], a_fin[g], b_fin[g])
+            for g in range(G_n)]
+
+
 def _ipp_create(
     transcript: Transcript,
     Q: PointArray,

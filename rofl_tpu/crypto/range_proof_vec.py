@@ -78,17 +78,29 @@ def create_rangeproof(
 
     proofs: list[RP.RangeProof] = []
     commits_shifted: list[bytes] = []
-    for c in range(n_chunks):
-        t = Transcript(b"RangeProof")
-        proof, v_bytes = RP.prove_multiple(
-            t,
-            shifted_ext[c * chunk:(c + 1) * chunk],
-            blind_ext[c * chunk:(c + 1) * chunk],
-            prove_range,
-            rng,
-        )
-        proofs.append(proof)
-        commits_shifted.extend(v_bytes)
+    if n_chunks > 1 and n_chunks & (n_chunks - 1) == 0:
+        # chunk-batched prover: all chunks' rounds run as one device flow
+        transcripts = [Transcript(b"RangeProof") for _ in range(n_chunks)]
+        values_chunks = [shifted_ext[c * chunk:(c + 1) * chunk]
+                         for c in range(n_chunks)]
+        blinds_chunks = [blind_ext[c * chunk:(c + 1) * chunk]
+                         for c in range(n_chunks)]
+        proofs, v_chunks = RP.prove_multiple_batch(
+            transcripts, values_chunks, blinds_chunks, prove_range, rng)
+        for vbs in v_chunks:
+            commits_shifted.extend(vbs)
+    else:
+        for c in range(n_chunks):
+            t = Transcript(b"RangeProof")
+            proof, v_bytes = RP.prove_multiple(
+                t,
+                shifted_ext[c * chunk:(c + 1) * chunk],
+                blind_ext[c * chunk:(c + 1) * chunk],
+                prove_range,
+                rng,
+            )
+            proofs.append(proof)
+            commits_shifted.extend(v_bytes)
 
     # downshift: commit(-offset, 0) added to each (only the original length)
     offset = 1 << (prove_range - 1)

@@ -320,6 +320,21 @@ def _tree_sum_pow2(p: PointArray) -> PointArray:
     return PointArray(acc.x[..., :1], acc.y[..., :1], acc.z[..., :1], acc.t[..., :1])
 
 
+def tree_sum_groups(p: PointArray, group: int) -> PointArray:
+    """Per-group point sums over contiguous groups of `group` lanes:
+    (16, G·group) → (16, G). The chunk-batched prover's reduction
+    primitive (all n_partition chunks' MSMs in one device call)."""
+    if use_pallas():
+        from . import kernels
+
+        return PointArray(*kernels.tree_sum_groups(tuple(p), group))
+    L = p.x.shape[-1]
+    G = L // group
+    rp = PointArray(*[c.reshape(16, G, group) for c in p])
+    out = tree_sum(rp, axis=1)
+    return PointArray(*[c.reshape(16, G) for c in out])
+
+
 def tree_sum(p: PointArray, axis: int = 0) -> PointArray:
     """Sum a batch of points along a batch axis (log-depth, one compiled
     body) — the TPU-native substitute for rayon fold loops

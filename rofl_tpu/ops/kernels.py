@@ -533,6 +533,71 @@ def tree_sum(p):
     return tuple(c[:, :1] for c in p)
 
 
+def _halving_groups(point_add_fn, arrs, G, width, pair_shape):
+    """Reduce contiguous groups of `width` (≤128, pow2) columns to 1 via
+    halving point/scalar adds with XLA reshapes between kernel calls."""
+    while width > 1:
+        w = width // 2
+        if pair_shape == 4:
+            left = tuple(
+                c.reshape(NLIMB, G, width)[:, :, :w].reshape(NLIMB, -1)
+                for c in arrs)
+            right = tuple(
+                c.reshape(NLIMB, G, width)[:, :, w:].reshape(NLIMB, -1)
+                for c in arrs)
+            arrs = point_add_fn(left, right)
+        else:
+            left = arrs.reshape(NLIMB, G, width)[:, :, :w].reshape(NLIMB, -1)
+            right = arrs.reshape(NLIMB, G, width)[:, :, w:].reshape(NLIMB, -1)
+            arrs = point_add_fn(left, right)
+        width = w
+    return arrs
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def tree_sum_groups(p, group: int):
+    """Per-group point sums: lanes = G·group (group pow2, G pow2) →
+    (16, G) coords, group-major order preserved."""
+    p = _pt_flat(p)
+    L = p[0].shape[-1]
+    assert L % group == 0
+    G = L // group
+    width = group
+    while width > 128:
+        tile = min(2048, width)
+        assert width % tile == 0 or tile % width == 0
+        p = _sum_once(p, tile)
+        width = (width // tile) * 128
+    return _halving_groups(point_add, p, G, width, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sc_sum_groups(a, group: int):
+    """Per-group mod-l sums: (16, G·group) → (16, G)."""
+    a = a.reshape(NLIMB, -1)
+    L = a.shape[-1]
+    assert L % group == 0
+    G = L // group
+    width = group
+    while width > 128:
+        tile = min(2048, width)
+        m = a.shape[-1]
+        in_spec = _block_specs(m // tile, tile)
+        out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        a = pl.pallas_call(
+            _sc_sum_kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (NLIMB, (m // tile) * 128), jnp.uint32),
+            grid=(m // tile,),
+            in_specs=[in_spec],
+            out_specs=out_spec,
+            interpret=_interpret(),
+        )(a)
+        width = (width // tile) * 128
+    return _halving_groups(sc_add, a, G, width, 1)
+
+
 # -- ristretto compress / decompress ------------------------------------------
 
 

@@ -390,6 +390,23 @@ def sum_reduce(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return out
 
 
+def sum_reduce_groups(a: jnp.ndarray, group: int) -> jnp.ndarray:
+    """Per-group mod-l sums over contiguous groups: (16, G·group) → (16, G)."""
+    if use_pallas():
+        from . import kernels
+
+        return kernels.sc_sum_groups(a, group)
+    L = a.shape[-1]
+    G = L // group
+    out = sum_reduce(a.reshape(NLIMB, G, group), axis=1)
+    return out.reshape(NLIMB, G)
+
+
+def inner_product_groups(a: jnp.ndarray, b: jnp.ndarray, group: int) -> jnp.ndarray:
+    """<a, b> mod l per contiguous group → (16, G)."""
+    return sum_reduce_groups(mul(a, b), group)
+
+
 def inner_product(a: jnp.ndarray, b: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """<a, b> mod l along a batch axis."""
     return sum_reduce(mul(a, b), axis=axis)

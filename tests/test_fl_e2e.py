@@ -19,7 +19,9 @@ pytestmark = pytest.mark.slow
 
 
 def run_fl(cfg: ServerConfig, n_clients: int, port: int, blinding_fns=None,
-           timeout=300):
+           timeout=1800):
+    # generous timeout: first-run XLA:CPU compiles of the proof graphs
+    # take many minutes; warm-cache runs finish in seconds
     async def main():
         state = TrainingState(cfg)
         server = make_server({cfg.model_id: state}, f"127.0.0.1:{port}")
