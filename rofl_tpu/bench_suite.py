@@ -329,6 +329,9 @@ def main(argv=None):
     ap.add_argument("--fp-frac", type=int, default=7)
     ap.add_argument("--range", type=int, default=DEFAULT_RANGE)
     ap.add_argument("--out", default="benchmarks")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace into LOGDIR "
+                         "(TensorBoard/Perfetto)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args(argv)
 
@@ -342,10 +345,21 @@ def main(argv=None):
         ap.error(f"unknown bench(es) {unknown}; choose from "
                  f"{sorted(BENCHES)} or 'all'")
     s = Suite(args.fp_bits, args.fp_frac, args.range, args.out, args.samples)
-    for name in names:
-        fn = BENCHES[name]
-        for d in args.dims:
-            fn(s, d)
+    import contextlib
+
+    from .utils.profiling import annotate, device_trace
+
+    def annotate_phase(name, d):
+        if not (args.trace or os.environ.get("ROFL_TRACE_DIR")):
+            return contextlib.nullcontext()
+        return annotate(f"{name}-{d}")
+
+    with device_trace(args.trace):
+        for name in names:
+            fn = BENCHES[name]
+            for d in args.dims:
+                with annotate_phase(name, d):
+                    fn(s, d)
 
 
 if __name__ == "__main__":

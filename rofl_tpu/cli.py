@@ -122,7 +122,25 @@ def cmd_test_train(args):
     asyncio.run(main())
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even when a sitecustomize pre-imports jax and
+    registers the TPU plugin before the env var can take effect (the same
+    reason tests/conftest.py calls jax.config.update). Without this, every
+    orchestrated subprocess lands on the one real TPU chip and serializes."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def main(argv=None):
+    _apply_platform_env()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",

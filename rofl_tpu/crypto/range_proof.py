@@ -403,7 +403,7 @@ def prove_multiple_batch(
     s_cat = jnp.concatenate([s_L, s_R], axis=2).reshape(16, 2 * L)
     S_pt = curve.add(
         pedersen.base_H().mul(jnp.asarray(s_blind)),
-        curve.tree_sum_groups(curve.scalar_mul(bases_GH, s_cat), 2 * nm))
+        msm.msm_grouped(bases_GH, s_cat, 2 * nm))
 
     AS_bytes = _compress_bytes(PointArray(*[
         jnp.concatenate([a, s], axis=1) for a, s in zip(A_pt, S_pt)
@@ -538,8 +538,7 @@ def _ipp_create_batch(
         L_scal = jnp.concatenate(
             [sc.mul(a_L, gp_rep), sc.mul(b_R, ypend)], axis=2
         ).reshape(16, -1)
-        L_sum = curve.tree_sum_groups(
-            curve.scalar_mul(_pflat(LR_bases), L_scal), s)
+        L_sum = msm.msm_grouped(_pflat(LR_bases), L_scal, s)
         wq_L = sc.mul(c_L, _consts(ws))
         L_pt = curve.add(L_sum, base_B.mul(wq_L))
 
@@ -548,8 +547,7 @@ def _ipp_create_batch(
             [sc.mul(a_R, gp_rep),
              sc.mul(b_L, sc.mul(ypend, _consts(yRs)[:, :, None]))], axis=2
         ).reshape(16, -1)
-        R_sum = curve.tree_sum_groups(
-            curve.scalar_mul(_pflat(RL_bases), R_scal), s)
+        R_sum = msm.msm_grouped(_pflat(RL_bases), R_scal, s)
         wq_R = sc.mul(c_R, _consts(ws))
         R_pt = curve.add(R_sum, base_B.mul(wq_R))
 

@@ -701,6 +701,94 @@ def decompress(s):
     return pt, valid
 
 
+# -- bit-plane Horner MSM (the TPU-native Pippenger) ---------------------------
+#
+# Σ_i k_i·P_i = Σ_b 2^b · S_b with S_b = Σ_{i: bit_b(k_i)} P_i. The 253
+# doublings are shared across ALL lanes (Horner over bit-planes), and each
+# S_b is a masked tree reduction — fully vectorizable. This is exactly
+# Pippenger with 1-bit windows: wider windows need per-lane scatter into
+# bucket arrays, which TPU vregs cannot do (no cross-sublane scatter), and
+# emulating the buckets with per-digit masked reductions costs w reductions
+# per w-bit window — strictly worse than w=1. Point-op count per lane:
+# ~(1 - 128/T) adds/bit ≈ 1.1 incl. the 128-wide Horner ops, vs the
+# per-lane ladder's 2 (double+add)/bit. Replaces dalek's Pippenger
+# (VERDICT r1 item 2; reference: curve25519-dalek-ng multiscalar_mul used
+# by range_proof_vec/mod.rs:149-216 verify and bulletproofs prove).
+
+
+def _msm_bitplane_kernel(k_ref, px, py, pz, pt, ox, oy, oz, ot):
+    """Per-block partial MSM over the block's T lanes → a 128-wide partial
+    accumulator (lane j holds Σ over i ≡ j mod 128); the host wrapper
+    point-reduces the partials."""
+    T = px.shape[-1]
+    P = _read_pt((px, py, pz, pt))
+    ident = p_identity(P[0][0])
+
+    def body(t, acc_st):
+        acc = p_unstack(acc_st)
+        b = 252 - t
+        limb = k_ref[pl.ds(b >> 4, 1), :]
+        bit = (limb >> (b & 15).astype(jnp.uint32)) & 1
+        sel = p_select(bit == 1, P, ident)
+        w = T
+        while w > 128:
+            h = w // 2
+            left = tuple([r[:, :h] for r in c] for c in sel)
+            right = tuple([r[:, h:w] for r in c] for c in sel)
+            sel = p_add(left, right)
+            w = h
+        acc = p_add(p_double(acc), sel)
+        return p_stack(tuple(list(c) for c in acc))
+
+    acc0 = p_stack(p_identity(P[0][0][:, :128]))
+    acc = jax.lax.fori_loop(0, 253, body, acc0)
+    _write_pt((ox, oy, oz, ot), p_unstack(acc))
+
+
+def _msm_call(k, p, tile):
+    nb = p[0].shape[-1] // tile
+    spec = _block_specs(nb, tile)
+    out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _msm_bitplane_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, nb * 128), jnp.uint32)
+                        for _ in range(4)),
+        grid=(nb,),
+        in_specs=[spec] * 5,
+        out_specs=tuple([out_spec] * 4),
+        interpret=_interpret(),
+    )(k, *p)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def msm_flat(p, k):
+    """Σ k_i·P_i over all lanes → (16, 1) coords. Pads with identity points
+    / zero scalars (a zero bit never selects, so padding is inert)."""
+    p = _pt_flat(p)
+    n = p[0].shape[-1]
+    k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
+    tile = _tile_for(n)
+    pp = tuple(_pad_identity(c, i, tile) for i, c in enumerate(p))
+    kk = _pad_lanes(k, tile)  # zero scalars on the pad
+    out = _msm_call(kk, pp, tile)
+    return tree_sum(out)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msm_groups(p, k, group: int):
+    """Per-group MSMs over contiguous groups of `group` lanes:
+    (16, G·group) → (16, G). Requires group pow2 and a multiple of the
+    block tile so no block straddles groups."""
+    p = _pt_flat(p)
+    n = p[0].shape[-1]
+    k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
+    tile = min(TILE, group)
+    assert group & (group - 1) == 0 and group % tile == 0 and n % group == 0
+    out = _msm_call(k, p, tile)
+    return tree_sum_groups(out, (group // tile) * 128)
+
+
 # -- shared-scalar multiplication (IPA G/H folds) ------------------------------
 
 

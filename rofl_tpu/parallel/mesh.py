@@ -29,7 +29,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8 (check_vma kwarg)
+
+    def shard_map(f=None, **kw):
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import curve, msm as msm_mod, sc
 from ..ops.curve import PointArray

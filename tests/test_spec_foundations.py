@@ -120,23 +120,128 @@ def test_merlin_transcript_vector():
     )
 
 
+class _SpecStrobe:
+    """Independent STROBE-128/1600 duplex, written block-at-a-time from the
+    STROBE v1.0.2 spec — deliberately a different formulation from
+    spec.merlin's byte-at-a-time port of merlin's strobe.rs. Used for the
+    same cross-validation methodology as merlin's own equivalence tests
+    (merlin transcript.rs tests::equivalence_complex runs TestTranscript
+    against Strobe128 and asserts agreement)."""
+
+    R = 166
+
+    def __init__(self, proto: bytes):
+        from rofl_tpu.spec.keccak import keccak_f1600
+
+        self._f1600 = keccak_f1600
+        self.st = bytearray(200)
+        self.st[:6] = bytes([1, self.R + 2, 1, 0, 1, 96])
+        self.st[6:18] = b"STROBEv1.0.2"
+        self._f1600(self.st)
+        self.pos = 0
+        self.pos_begin = 0
+        self._op(0b10010, proto)  # meta-AD for the protocol label
+
+    def _runf(self):
+        self.st[self.pos] ^= self.pos_begin
+        self.st[self.pos + 1] ^= 0x04
+        self.st[self.R + 1] ^= 0x80
+        self._f1600(self.st)
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _op(self, flags: int, data: bytes = b"", n_out: int = 0,
+            overwrite: bool = False) -> bytes:
+        # begin_op: frame bytes [pos_begin, flags], then C/K ops realign
+        old = self.pos_begin
+        self.pos_begin = self.pos + 1
+        for b in bytes([old, flags]):
+            self.st[self.pos] ^= b
+            self.pos += 1
+            if self.pos == self.R:
+                self._runf()
+        if flags & 0b100100 and self.pos != 0:  # C or K → force F
+            self._runf()
+        if n_out:  # squeeze (PRF): emit state bytes, zero them
+            out = bytearray()
+            while len(out) < n_out:
+                take = min(self.R - self.pos, n_out - len(out))
+                out += self.st[self.pos:self.pos + take]
+                self.st[self.pos:self.pos + take] = bytes(take)
+                self.pos += take
+                if self.pos == self.R:
+                    self._runf()
+            return bytes(out)
+        i = 0
+        while i < len(data):  # absorb/overwrite a whole block slice at once
+            take = min(self.R - self.pos, len(data) - i)
+            chunk = data[i:i + take]
+            if overwrite:
+                self.st[self.pos:self.pos + take] = chunk
+            else:
+                cur = int.from_bytes(self.st[self.pos:self.pos + take],
+                                     "little")
+                self.st[self.pos:self.pos + take] = (
+                    cur ^ int.from_bytes(chunk, "little")
+                ).to_bytes(take, "little")
+            self.pos += take
+            i += take
+            if self.pos == self.R:
+                self._runf()
+        return b""
+
+    # merlin transcript framing on top (meta_ad / ad / prf / key)
+    def append_message(self, label: bytes, msg: bytes):
+        self._op(0b10010, label + len(msg).to_bytes(4, "little"))
+        self._op(0b00010, msg)
+
+    def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        self._op(0b10010, label + n.to_bytes(4, "little"))
+        return self._op(0b00111, n_out=n)  # I|A|C
+
+    def key(self, data: bytes):
+        self._op(0b00110, data, overwrite=True)  # A|C
+
+
 def test_merlin_transcript_complex():
-    # Mirrors merlin's tests::equivalence_complex structure (multi-block
-    # absorbs, interleaved PRF). The authoritative cross-implementation check
-    # is test_merlin_transcript_vector above; this pins the long-input code
-    # path against regressions (value computed by this implementation).
+    # merlin's tests::equivalence_complex, same methodology: run the
+    # multi-block absorb / interleaved-PRF schedule through spec.merlin AND
+    # the independent block-at-a-time _SpecStrobe, assert every challenge
+    # agrees, and pin the final value against regressions.
     t = Transcript(b"test protocol")
+    s = _SpecStrobe(b"Merlin v1.0")
+    s.append_message(b"dom-sep", b"test protocol")
     t.append_message(b"step1", b"some data")
+    s.append_message(b"step1", b"some data")
     data = bytes([99] * 1024)
     chl_bytes = b""
     for _ in range(32):
         chl_bytes = t.challenge_bytes(b"challenge", 32)
+        assert s.challenge_bytes(b"challenge", 32) == chl_bytes
         t.append_message(b"bigdata", data)
         t.append_message(b"challengedata", chl_bytes)
+        s.append_message(b"bigdata", data)
+        s.append_message(b"challengedata", chl_bytes)
     assert (
         chl_bytes.hex()
         == "a8c933f54fae76e3f9bea93648c1308e7dfa2152dd51674ff3ca438351cf003c"
     )
+
+
+def test_strobe_key_op():
+    # KEY op (used by merlin's TranscriptRng / rekeying): overwrite + C
+    # realignment — cross-checked between the two implementations.
+    from rofl_tpu.spec.merlin import Strobe128
+
+    a = Strobe128(b"key test")
+    b = _SpecStrobe(b"key test")
+    a.ad(b"pre", False)
+    b._op(0b00010, b"pre")
+    a.key(bytes(range(64)), False)
+    b.key(bytes(range(64)))
+    a.ad(b"post", False)
+    b._op(0b00010, b"post")
+    assert a.prf(48, False) == b._op(0b00111, n_out=48)
 
 
 def test_scalar_field():
