@@ -25,13 +25,9 @@ def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon")
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    except Exception:
-        pass
+    from rofl_tpu.utils.cache import setup_cache
+
+    setup_cache()
 
     import numpy as np
     import jax.numpy as jnp

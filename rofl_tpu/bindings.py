@@ -131,10 +131,10 @@ def create_rangeproof(values: np.ndarray, blinding_blob: bytes,
                       ) -> tuple[bytes, bytes]:
     """(Vec<RangeProof>, Vec<RistrettoPoint>) blobs (bindings32.rs:228-261)."""
     rng = rng or np.random.default_rng()
-    blind = [int(x) for x in sc.unpack_scalars(sv.deserialize_scalar_vec(blinding_blob))]
+    blind = np.asarray(sv.deserialize_scalar_vec(blinding_blob))
     proofs, commits = range_proof_vec.create_rangeproof(
         np.asarray(values, np.float32), blind, fp, range_exp, n_partition, rng)
-    return sv.serialize_range_proof_vec(proofs), _spec_points_ser(commits)
+    return sv.serialize_range_proof_vec(proofs), sv.serialize_rp_vec(commits)
 
 
 def verify_rangeproof(commit_blob: bytes, proof_blob: bytes, range_exp: int,
@@ -142,7 +142,7 @@ def verify_rangeproof(commit_blob: bytes, proof_blob: bytes, range_exp: int,
                       rng: np.random.Generator | None = None) -> bool:
     """bindings32.rs:265-287."""
     rng = rng or np.random.default_rng()
-    pts = curve.unpack_points(sv.deserialize_rp_vec(commit_blob))
+    pts = sv.deserialize_rp_vec(commit_blob)
     proofs = sv.deserialize_range_proof_vec(proof_blob)
     return range_proof_vec.verify_rangeproof(proofs, pts, fp, range_exp, rng)
 

@@ -109,10 +109,61 @@ class BatchStrobe:
         self.pos = 0
         self.pos_begin = 0
 
+    def _xor_segment(self, rows: list):
+        """XOR `rows` (byte values: ints and/or (N,) vectors) into the state
+        at byte positions pos..pos+len-1, as word-aligned ops.
+
+        One dynamic-free slice-XOR per segment instead of one scatter per
+        byte — the per-byte form made every transcript-bearing jit's graph
+        ~30x larger and was a main driver of the round-2 compile blowups."""
+        pos, seg = self.pos, len(rows)
+        if seg == 0:
+            return
+        w0, off = pos // 4, pos % 4
+        W = (off + seg + 3) // 4
+        if all(isinstance(b, (int, np.integer)) for b in rows):
+            buf = np.zeros(4 * W, np.uint8)
+            buf[off:off + seg] = rows
+            b32 = buf.astype(np.uint32)
+            words = (b32[0::4] | (b32[1::4] << 8)
+                     | (b32[2::4] << 16) | (b32[3::4] << 24))
+            if not words.any():
+                return
+            delta = words[:, None].astype(np.uint32)
+            if self.on_device:
+                delta = jnp.asarray(delta)
+        else:
+            xp = self.xp
+            zero = None
+            full = []
+            for b in rows:
+                if isinstance(b, (int, np.integer)):
+                    if zero is None:
+                        zero = xp.zeros_like(self._coerce(next(
+                            r for r in rows
+                            if not isinstance(r, (int, np.integer)))))
+                    full.append(zero + xp.uint32(int(b)) if int(b) else zero)
+                else:
+                    full.append(self._coerce(b).astype(xp.uint32))
+            pad_front = [xp.zeros_like(full[0])] * off
+            pad_back = [xp.zeros_like(full[0])] * (4 * W - off - seg)
+            arr = xp.stack(pad_front + full + pad_back)        # (4W, N)
+            delta = (arr[0::4] | (arr[1::4] << 8) | (arr[2::4] << 16)
+                     | (arr[3::4] << 24))
+        if self.on_device:
+            self.state = self.state.at[w0:w0 + W].set(
+                self.state[w0:w0 + W] ^ delta)
+        else:
+            self.state[w0:w0 + W] ^= delta
+
     def _absorb_iter(self, byte_iter):
-        for b in byte_iter:
-            self._xor_byte(self.pos, b)
-            self.pos += 1
+        rows = list(byte_iter)
+        i = 0
+        while i < len(rows):
+            seg = min(STROBE_R - self.pos, len(rows) - i)
+            self._xor_segment(rows[i:i + seg])
+            self.pos += seg
+            i += seg
             if self.pos == STROBE_R:
                 self._run_f()
 
@@ -147,14 +198,36 @@ class BatchStrobe:
 
     def prf(self, n_bytes: int, more: bool):
         self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
-        out = []
-        for _ in range(n_bytes):
-            out.append(self._get_byte(self.pos))
-            self._set_byte(self.pos, 0)
-            self.pos += 1
+        xp = self.xp
+        chunks = []
+        taken = 0
+        while taken < n_bytes:
+            seg = min(STROBE_R - self.pos, n_bytes - taken)
+            w0, off = self.pos // 4, self.pos % 4
+            W = (off + seg + 3) // 4
+            words = self.state[w0:w0 + W]                      # (W, N)
+            rows = [None] * (4 * W)
+            for s in range(4):
+                sh = (words >> xp.uint32(8 * s)) & xp.uint32(0xFF)
+                for w in range(W):
+                    rows[4 * w + s] = sh[w]
+            chunks.append(xp.stack(rows[off:off + seg]))       # (seg, N)
+            # zeroize the read bytes (KEY/PRF semantics): constant per-word
+            # masks, partial boundary words keep their other bytes
+            mask = np.full(W, 0xFFFFFFFF, np.uint32)
+            for i in range(seg):
+                w, sh = divmod(off + i, 4)
+                mask[w] &= ~np.uint32(0xFF << (8 * sh))
+            if self.on_device:
+                self.state = self.state.at[w0:w0 + W].set(
+                    words & jnp.asarray(mask[:, None]))
+            else:
+                self.state[w0:w0 + W] = words & mask[:, None]
+            self.pos += seg
+            taken += seg
             if self.pos == STROBE_R:
                 self._run_f()
-        return self.xp.stack(out)  # (n_bytes, N)
+        return xp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
 
 class BatchTranscript:

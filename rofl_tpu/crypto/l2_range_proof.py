@@ -28,23 +28,34 @@ class L2OverflowError(ValueError):
 
 
 def squared_sum_scalar(values_clipped, fp: FpConfig) -> int:
-    """Σ f32_to_scalar(x)² in the scalar field."""
-    acc = 0
-    for s in fp.f32_to_scalars(np.asarray(values_clipped, np.float32)):
-        acc = (acc + s * s) % SS.L
-    return acc
+    """Σ f32_to_scalar(x)² in the scalar field.
+
+    Vectorized: (l − mag)² ≡ mag² (mod l), so the signed encoding drops out
+    and the sum is Σ mag² over the uint64 magnitudes (exact in uint64 for
+    n_bits ≤ 16 and any realistic d; bigint fallback for wider configs)."""
+    bits = fp.f32_to_bits(np.asarray(values_clipped, np.float32))
+    if 2 * fp.n_bits + max(1, int(bits.size).bit_length()) <= 64:
+        return int(np.sum(bits * bits, dtype=np.uint64)) % SS.L
+    obj = bits.astype(object)
+    return int(np.sum(obj * obj)) % SS.L
 
 
 def check_l2(values_clipped, fp: FpConfig, prove_range: int) -> int:
     """Overflow + bound checks (mod.rs:44-64); returns the sum scalar."""
     values_clipped = np.asarray(values_clipped, np.float32)
     val = squared_sum_scalar(values_clipped, fp)
-    shift = float(1 << fp.n_frac)
-    # float cross-check: decode(encode(x))² × 2^frac summed in f32
-    dec = fp.scalars_to_f32(fp.f32_to_scalars(values_clipped))
+    shift = np.float32(1 << fp.n_frac)
+    # float cross-check: decode(encode(x))² × 2^frac summed SEQUENTIALLY in
+    # f32 (the reference's fold order, mod.rs:44-58 — pairwise np.sum would
+    # round differently at the overflow boundary)
+    bits = fp.f32_to_bits(values_clipped)
+    neg = (values_clipped < 0) & (bits != 0)
+    dec = np.where(neg, -(bits.astype(np.float64)), bits.astype(np.float64))
+    dec = (dec / fp.scale).astype(np.float32)
+    terms = (dec * dec * shift).astype(np.float32)
     val_float = np.float32(0)
-    for x in dec:
-        val_float = np.float32(val_float + np.float32(x) * np.float32(x) * np.float32(shift))
+    for x in terms:
+        val_float = np.float32(val_float + x)
     got = np.float32(fp.scalar_to_f32(val))
     if abs(float(got) - float(val_float)) > np.finfo(np.float32).eps:
         raise L2OverflowError(f"fixed-point overflow: {got} != {val_float}")
@@ -55,15 +66,30 @@ def check_l2(values_clipped, fp: FpConfig, prove_range: int) -> int:
 
 def create_rangeproof_l2(
     values_clipped,
-    blindings: list[int],
+    blindings,
     fp: FpConfig,
     prove_range: int,
     rng: np.random.Generator,
 ) -> tuple[RP.RangeProof, RistrettoPoint]:
-    """create_rangeproof_l2 (mod.rs:15-140) → (proof, sum-square commit)."""
+    """create_rangeproof_l2 (mod.rs:15-140) → (proof, sum-square commit).
+
+    blindings: (16, d) uint32 scalar limbs or list[int]; the blinding sum
+    is reduced on device for the limb form (one sum, no host bigints)."""
     values_clipped = np.asarray(values_clipped, np.float32)
-    if len(values_clipped) != len(blindings):
-        raise ValueError("wrong number of blinding factors")
+    if isinstance(blindings, (list, tuple)):
+        if len(values_clipped) != len(blindings):
+            raise ValueError("wrong number of blinding factors")
+        blinding_sum = sum(int(b) for b in blindings) % SS.L
+    else:
+        import jax.numpy as jnp
+
+        from ..ops import sc
+
+        limbs = np.asarray(blindings)
+        if limbs.shape[1] != len(values_clipped):
+            raise ValueError("wrong number of blinding factors")
+        total = sc.sum_reduce_groups(jnp.asarray(limbs), limbs.shape[1])
+        blinding_sum = sc.unpack_scalars(np.asarray(total))[0]
     if RP and _is_out_of_range(values_clipped, fp, prove_range):
         raise ValueError("value out of range")
     val = check_l2(values_clipped, fp, prove_range)
@@ -71,10 +97,10 @@ def create_rangeproof_l2(
     value_u64 = int.from_bytes(
         SS.to_bytes(val)[: (fp.n_bits + 7) // 8], "little"
     ) & fp.max_bits
-    blinding_sum = sum(blindings) % SS.L
 
     t = Transcript(b"L2RangeProof")
-    proof, v_bytes = RP.prove_multiple(t, [value_u64], [blinding_sum], prove_range, rng)
+    proof, v_bytes, _V = RP.prove_multiple(
+        t, [value_u64], [blinding_sum], prove_range, rng)
     from ..spec import ristretto as SR
 
     commit = SR.decompress(v_bytes[0])

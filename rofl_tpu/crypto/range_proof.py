@@ -178,12 +178,16 @@ def prove_multiple(
     blindings: list[int],
     n: int,
     rng: np.random.Generator,
-) -> tuple[RangeProof, list[bytes]]:
+) -> tuple[RangeProof, list[bytes], PointArray]:
     """RangeProof::prove_multiple (range_proof/mod.rs + party/dealer).
 
     values: non-negative ints < 2^n (the shifted fixed-point values,
     range_proof_vec/mod.rs:36-43); blindings: scalars. m = len(values) must
     be a power of two (range_proof_vec pads, mod.rs:46-51).
+
+    Returns (proof, V_bytes, V_points) — the V commitments both as
+    compressed bytes (transcript/wire) and as the device PointArray so
+    callers can un-shift/aggregate without a host decompress round-trip.
     """
     m = len(values)
     assert m & (m - 1) == 0, "m must be a power of two"
@@ -305,11 +309,22 @@ def prove_multiple(
         A_bytes, S_bytes, T_bytes[0], T_bytes[1], t_x, t_x_blinding,
         e_blinding, ipp,
     )
-    return proof, V_bytes
+    return proof, V_bytes, V
 
 
 def _consts(xs: list[int]) -> jnp.ndarray:
     return jnp.asarray(sc.pack_scalars(xs))
+
+
+def _u64_to_limbs(vals: np.ndarray) -> np.ndarray:
+    """(N,) uint64 (< l, here < 2^64) → (16, N) uint32 limb scalars,
+    vectorized (no host bigints)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    out = np.zeros((16, vals.shape[0]), dtype=np.uint32)
+    for k in range(4):
+        out[k] = ((vals >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(
+            np.uint32)
+    return out
 
 
 def _tile_points(p: PointArray, g: int) -> PointArray:
@@ -336,11 +351,11 @@ def _pconcat3(a: PointArray, b: PointArray) -> PointArray:
 
 def prove_multiple_batch(
     transcripts: list[Transcript],
-    values_chunks: list[list[int]],
-    blind_chunks: list[list[int]],
+    values_chunks: np.ndarray,
+    blind_limbs,
     n: int,
     rng: np.random.Generator,
-) -> tuple[list[RangeProof], list[list[bytes]]]:
+) -> tuple[list[RangeProof], list[list[bytes]], PointArray]:
     """All n_partition chunks proved in ONE device flow.
 
     The reference proves chunks in parallel rayon tasks
@@ -352,11 +367,15 @@ def prove_multiple_batch(
     own Merlin transcript (host) and its own challenges; the emitted
     proofs are protocol-identical to sequential prove_multiple calls.
 
+    values_chunks: (G, m) uint64 array of shifted in-range values;
+    blind_limbs: (16, G·m) uint32 scalar limbs (device-friendly — no
+    per-element host bigints anywhere on this path).
+
     Requires G power-of-two (group reductions) — callers fall back to the
     sequential path otherwise.
     """
-    G_n = len(values_chunks)
-    m = len(values_chunks[0])
+    values_chunks = np.asarray(values_chunks, dtype=np.uint64)
+    G_n, m = values_chunks.shape
     nm = n * m
     L = G_n * nm
     gens_G, gens_H = device_bp_gens(n, m)
@@ -364,10 +383,9 @@ def prove_multiple_batch(
     gens_H_t = _tile_points(gens_H, G_n)
 
     # V commitments, all chunks at once
-    all_vals = [v for ch in values_chunks for v in ch]
-    all_blinds = [b for ch in blind_chunks for b in ch]
-    v_limbs = _consts(all_vals)
-    gamma_limbs = _consts(all_blinds)
+    all_vals = values_chunks.reshape(-1)
+    v_limbs = jnp.asarray(_u64_to_limbs(all_vals))
+    gamma_limbs = jnp.asarray(blind_limbs)
     V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
     V_bytes_all = _compress_bytes(V)
     V_chunks = [V_bytes_all[g * m:(g + 1) * m] for g in range(G_n)]
@@ -379,8 +397,7 @@ def prove_multiple_batch(
             _append_point(t, b"V", vb)
 
     # bit vectors
-    vals_np = np.array([int(v) for v in all_vals], dtype=np.uint64)
-    bits_np = ((vals_np[:, None] >> np.arange(n, dtype=np.uint64)) & 1
+    bits_np = ((all_vals[:, None] >> np.arange(n, dtype=np.uint64)) & 1
                ).ravel().astype(np.uint32)
     bits = jnp.asarray(bits_np)
     a_L = jnp.zeros((16, L), jnp.uint32).at[0].set(bits)
@@ -448,18 +465,23 @@ def prove_multiple_batch(
         _append_point(t, b"T_2", T_bytes[G_n + g])
         xs.append(t.challenge_scalar(b"x"))
 
+    # Σ_j zz·z^j·γ_{g,j} per chunk — on device (was a host bigint loop)
+    zz_zj = jnp.concatenate(
+        [sc.mul(sc.powers(_const(z), m), _const(zz))
+         for z, zz in zip(zs, zzs)], axis=1)          # (16, G·m)
+    bsums = sc.unpack_scalars(np.asarray(
+        sc.sum_reduce_groups(sc.mul(zz_zj, gamma_limbs), m)))
+
+    a_bls = sc.unpack_scalars(np.asarray(a_blind))
+    s_bls = sc.unpack_scalars(np.asarray(s_blind))
     t_xs, t_x_blinds, e_blinds, ws = [], [], [], []
     for g, t in enumerate(transcripts):
         x = xs[g]
-        z, zz = zs[g], zzs[g]
         t_x = (t0_i[g] + t1_i[g] * x + t2_i[g] * x * x) % SS.L
         t_x_blinding = (
-            sum(zz * pow(z, j, SS.L) * blind_chunks[g][j] for j in range(m))
-            + x * t1_blind[g] + x * x * t2_blind[g]
+            bsums[g] + x * t1_blind[g] + x * x * t2_blind[g]
         ) % SS.L
-        a_bl = sc.unpack_scalars(np.asarray(a_blind))[g]
-        s_bl = sc.unpack_scalars(np.asarray(s_blind))[g]
-        e_blinding = (a_bl + x * s_bl) % SS.L
+        e_blinding = (a_bls[g] + x * s_bls[g]) % SS.L
         t.append_message(b"t_x", SS.to_bytes(t_x))
         t.append_message(b"t_x_blinding", SS.to_bytes(t_x_blinding))
         t.append_message(b"e_blinding", SS.to_bytes(e_blinding))
@@ -484,7 +506,7 @@ def prove_multiple_batch(
             AS_bytes[g], AS_bytes[G_n + g], T_bytes[g], T_bytes[G_n + g],
             t_xs[g], t_x_blinds[g], e_blinds[g], ipps[g],
         ))
-    return proofs, V_chunks
+    return proofs, V_chunks, V
 
 
 def _ipp_create_batch(

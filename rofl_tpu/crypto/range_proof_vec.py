@@ -40,104 +40,133 @@ def is_out_of_range(values, fp: FpConfig, prove_range: int) -> bool:
     return bool(np.any((v < lo) | (v > hi)))
 
 
-def shifted_fixed_values(values, fp: FpConfig, prove_range: int) -> list[int]:
+def shifted_fixed_values(values, fp: FpConfig, prove_range: int) -> np.ndarray:
     """f32 → shifted fixed-point integers: low n_bits of
     (f32_to_scalar(x) + 2^(range-1)) (mod.rs:36-43: scalar add then
-    read_from_bytes truncation to URawFix)."""
-    offset = 1 << (prove_range - 1)
-    out = []
-    for s in fp.f32_to_scalars(values):
-        shifted = (s + offset) % SS.L
-        out.append(int.from_bytes(SS.to_bytes(shifted)[: (fp.n_bits + 7) // 8],
-                                  "little") & fp.max_bits)
-    return out
+    read_from_bytes truncation to URawFix). Vectorized: the low 64 bits of
+    (l - mag + offset) equal (l mod 2^64) - mag + offset under uint64
+    wrap-around, so no per-element bigints are needed (n_bits <= 64)."""
+    v = np.asarray(values, np.float32)
+    bits = fp.f32_to_bits(v)                       # (d,) uint64 magnitudes
+    offset = np.uint64(1 << (prove_range - 1))
+    neg = (v < 0) & (bits != 0)
+    l_lo64 = np.uint64(SS.L & 0xFFFFFFFFFFFFFFFF)
+    pos = bits + offset
+    with np.errstate(over="ignore"):
+        negv = l_lo64 - bits + offset              # wraps mod 2^64
+    return np.where(neg, negv, pos) & np.uint64(fp.max_bits)
+
+
+def _broadcast_point(p: RistrettoPoint, n: int) -> curve.PointArray:
+    """One spec point → device PointArray broadcast to n lanes."""
+    pa = curve.pack_points([p])
+    import jax.numpy as jnp
+
+    return curve.PointArray(*[jnp.broadcast_to(c, (16, n)) for c in pa])
 
 
 def create_rangeproof(
     values_clipped,
-    blindings: list[int],
+    blindings,
     fp: FpConfig,
     prove_range: int,
     n_partition: int,
     rng: np.random.Generator,
-) -> tuple[list[RP.RangeProof], list[RistrettoPoint]]:
-    """create_rangeproof (mod.rs:16-102) → (proofs, unshifted commitments)."""
+) -> tuple[list[RP.RangeProof], curve.PointArray]:
+    """create_rangeproof (mod.rs:16-102) → (proofs, unshifted commitments).
+
+    blindings: (16, d) uint32 scalar limbs (device layout) or list[int].
+    Commitments are returned as a device PointArray; the −offset un-shift
+    (mod.rs:95-101) is one batched device add, not a host point loop.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import sc
+
     values_clipped = np.asarray(values_clipped, np.float32)
-    if len(values_clipped) != len(blindings):
+    d = len(values_clipped)
+    if isinstance(blindings, (list, tuple)):
+        blind_limbs = sc.pack_scalars(blindings)
+    else:
+        blind_limbs = np.asarray(blindings)
+    if blind_limbs.shape[1] != d:
         raise ValueError("wrong number of blinding factors")
     if is_out_of_range(values_clipped, fp, prove_range):
         raise ValueError("value out of range")
 
     shifted = shifted_fixed_values(values_clipped, fp, prove_range)
-    ext_len = next_pow2(len(shifted))
-    shifted_ext = shifted + [0] * (ext_len - len(shifted))
-    blind_ext = list(blindings) + [0] * (ext_len - len(blindings))
+    ext_len = next_pow2(d)
+    shifted_ext = np.zeros(ext_len, np.uint64)
+    shifted_ext[:d] = shifted
+    blind_ext = np.zeros((16, ext_len), np.uint32)
+    blind_ext[:, :d] = blind_limbs
 
     n_chunks = min(ext_len, n_partition)
     chunk = ext_len // n_chunks
 
     proofs: list[RP.RangeProof] = []
-    commits_shifted: list[bytes] = []
     if n_chunks > 1 and n_chunks & (n_chunks - 1) == 0:
         # chunk-batched prover: all chunks' rounds run as one device flow
         transcripts = [Transcript(b"RangeProof") for _ in range(n_chunks)]
-        values_chunks = [shifted_ext[c * chunk:(c + 1) * chunk]
-                         for c in range(n_chunks)]
-        blinds_chunks = [blind_ext[c * chunk:(c + 1) * chunk]
-                         for c in range(n_chunks)]
-        proofs, v_chunks = RP.prove_multiple_batch(
-            transcripts, values_chunks, blinds_chunks, prove_range, rng)
-        for vbs in v_chunks:
-            commits_shifted.extend(vbs)
+        proofs, _v_chunks, V = RP.prove_multiple_batch(
+            transcripts, shifted_ext.reshape(n_chunks, chunk), blind_ext,
+            prove_range, rng)
     else:
+        V = None
+        blind_ints = sc.unpack_scalars(blind_ext)
         for c in range(n_chunks):
             t = Transcript(b"RangeProof")
-            proof, v_bytes = RP.prove_multiple(
+            proof, _v_bytes, V_c = RP.prove_multiple(
                 t,
-                shifted_ext[c * chunk:(c + 1) * chunk],
-                blind_ext[c * chunk:(c + 1) * chunk],
+                [int(x) for x in shifted_ext[c * chunk:(c + 1) * chunk]],
+                blind_ints[c * chunk:(c + 1) * chunk],
                 prove_range,
                 rng,
             )
             proofs.append(proof)
-            commits_shifted.extend(v_bytes)
+            V = V_c if V is None else RP._point_concat(V, V_c)
 
     # downshift: commit(-offset, 0) added to each (only the original length)
     offset = 1 << (prove_range - 1)
     inv_offset = G.pedersen_B().scalar_mul(SS.L - offset)
-    out_points = []
-    from ..spec import ristretto as SR
-
-    for vb in commits_shifted[: len(values_clipped)]:
-        pt = SR.decompress(vb)
-        if pt is None:
-            raise ValueError("bad commitment")
-        out_points.append(pt + inv_offset)
-    return proofs, out_points
+    commits = curve.add(RP._point_slice(V, slice(0, d)),
+                        _broadcast_point(inv_offset, d))
+    return proofs, commits
 
 
 def verify_rangeproof(
     proofs: list[RP.RangeProof],
-    commits: list[RistrettoPoint],
+    commits,
     fp: FpConfig,
     prove_range: int,
     rng: np.random.Generator,
     mesh=None,
 ) -> bool:
-    """verify_rangeproof (mod.rs:149-216)."""
+    """verify_rangeproof (mod.rs:149-216).
+
+    commits: device PointArray (preferred) or list of spec points. The
+    +offset re-shift, identity padding and compression all run as batched
+    device ops (the reference re-shifts per element on CPU)."""
+    import jax.numpy as jnp
+
+    if not isinstance(commits, curve.PointArray):
+        commits = curve.pack_points(list(commits))
+    d = commits.x.shape[1]
     offset = 1 << (prove_range - 1)
     offset_pt = G.pedersen_B().scalar_mul(offset)
-    shifted = [c + offset_pt for c in commits]
-    ext_len = next_pow2(len(shifted))
-    from ..spec import ristretto as SR
-
-    shifted += [SR.identity()] * (ext_len - len(shifted))
+    shifted = curve.add(commits, _broadcast_point(offset_pt, d))
+    ext_len = next_pow2(d)
+    if ext_len != d:
+        ident = curve.identity((ext_len - d,))
+        ident = curve.PointArray(*[
+            jnp.broadcast_to(c, (16, ext_len - d)) for c in ident])
+        shifted = RP._point_concat(shifted, ident)
+    all_bytes = RP._compress_bytes(shifted)
     chunk = ext_len // len(proofs)
     items = []
     for c, proof in enumerate(proofs):
         t = Transcript(b"RangeProof")
-        v_bytes = [p.compress() for p in shifted[c * chunk:(c + 1) * chunk]]
-        items.append((t, proof, v_bytes))
+        items.append((t, proof, all_bytes[c * chunk:(c + 1) * chunk]))
     # all chunks verify as ONE random-linear-combination mega-MSM (the
     # reference loops verify_multiple per chunk); with a mesh the MSM
     # shards its terms over the 'param' axis

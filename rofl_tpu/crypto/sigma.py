@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import curve, sc
+from ..ops.dispatch import use_pallas
 from ..ops.curve import PointArray
 from . import pedersen
 from .batch_transcript import BatchTranscript, field_byte_cols, scalar_byte_cols
@@ -98,7 +99,13 @@ def _rand_prove_core(label: bytes, has_existing: bool):
         z_r = sc.add(r_prime, sc.mul(r, challenge))
         return c, c_prime, z_m, z_r
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def rand_proof_prove(
@@ -138,7 +145,13 @@ def _rand_verify_core(label: bytes):
         rhs_R = curve.add(cp_R, curve.scalar_mul(c_R, challenge))
         return curve.eq(lhs_L, rhs_L) & curve.eq(lhs_R, rhs_R)
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def rand_proof_verify(
@@ -210,7 +223,13 @@ def _square_rand_prove_core(label: bytes, has_existing: bool):
         z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
         return c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def square_rand_proof_prove(
@@ -265,7 +284,13 @@ def _square_rand_verify_core(label: bytes):
         rhs_ped = curve.add(c_sq_prime, curve.scalar_mul(c_sq, challenge))
         return ok_eg & curve.eq(lhs_ped, rhs_ped)
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def square_rand_proof_verify(
@@ -330,7 +355,13 @@ def _square_prove_core(label: bytes, has_existing: bool):
         z_r2 = sc.add(r2_prime, sc.mul(sc.sub(r2, sc.mul(m, r1)), challenge))
         return c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def square_proof_prove(
@@ -378,7 +409,13 @@ def _square_verify_core(label: bytes):
         rhs_ped = curve.add(c_sq_prime, curve.scalar_mul(c_sq, challenge))
         return ok1 & curve.eq(lhs_ped, rhs_ped)
 
-    return jax.jit(f)
+    # Fused on TPU: the heavy ops inside are shared Pallas kernels that
+    # dedupe across jits, so the fused program is thin XLA glue. Eager on
+    # CPU: inlining the jnp limb graphs + transcript into one jit costs
+    # minutes of XLA:CPU compile (round-3 measurement: 408 s), while the
+    # eager composition reuses each op's own small jit across every
+    # Σ-protocol and test.
+    return jax.jit(f) if use_pallas() else f
 
 
 def square_proof_verify(

@@ -222,18 +222,17 @@ class EncParamsRange:
         fp = cfg.fp
         prove_range = cfg.value_range
         clipped = RPV.clip_f32_to_range_vec(plaintext, fp, prove_range)
-        blind_ints = sc.unpack_scalars(np.asarray(blindings))
+        blind_limbs = np.asarray(blindings)
         if cfg.check_percentage >= 1.0:
             range_proofs, commits = RPV.create_rangeproof(
-                clipped, blind_ints, fp, prove_range, cfg.n_partition, rng)
-            existing = _spec_points_to_array(commits)
+                clipped, blind_limbs, fp, prove_range, cfg.n_partition, rng)
             m = jnp.asarray(fp.f32_to_scalar_limbs(np.asarray(plaintext, np.float32)))
             rand_proofs, enc_values = sigma.rand_proof_prove(
-                m, blindings, rng, existing=existing)
+                m, blindings, rng, existing=commits)
         else:
             num = int(round(len(clipped) * cfg.check_percentage))
             range_proofs, _ = RPV.create_rangeproof(
-                clipped[:num], blind_ints[:num], fp, prove_range,
+                clipped[:num], blind_limbs[:, :num], fp, prove_range,
                 cfg.n_partition, rng)
             m = jnp.asarray(fp.f32_to_scalar_limbs(np.asarray(plaintext, np.float32)))
             rand_proofs, enc_values = sigma.rand_proof_prove(m, blindings, rng)
@@ -246,9 +245,9 @@ class EncParamsRange:
         if not ok_rand:
             return False
         num = int(round(self.enc_values.L.batch_shape[0] * self.check_percentage))
-        pts = curve.unpack_points(PointArray(
+        pts = PointArray(
             self.enc_values.L.x[:, :num], self.enc_values.L.y[:, :num],
-            self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num]))
+            self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num])
         return RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
                                      self.prove_range, rng)
 
@@ -295,16 +294,15 @@ class EncParamsL2:
         fp = cfg.fp
         prove_range = cfg.value_range
         clipped = RPV.clip_f32_to_range_vec(plaintext, fp, prove_range)
-        blind_ints = sc.unpack_scalars(np.asarray(blindings))
         r2 = jnp.asarray(pedersen.rnd_scalar_limbs(len(clipped), rng))
-        r2_ints = sc.unpack_scalars(np.asarray(r2))
         range_proofs, commits = RPV.create_rangeproof(
-            clipped, blind_ints, fp, prove_range, cfg.n_partition, rng)
+            clipped, np.asarray(blindings), fp, prove_range,
+            cfg.n_partition, rng)
         square_range_proof, _sum_cm = L2RP.create_rangeproof_l2(
-            clipped, r2_ints, fp, cfg.l2_value_range, rng)
+            clipped, r2, fp, cfg.l2_value_range, rng)
         m = jnp.asarray(fp.f32_to_scalar_limbs(clipped))
         square_proofs, enc_values = sigma.square_rand_proof_prove(
-            m, blindings, r2, rng, existing=_spec_points_to_array(commits))
+            m, blindings, r2, rng, existing=commits)
         return cls(enc_values, square_proofs, range_proofs, square_range_proof,
                    prove_range, cfg.l2_value_range, fp)
 
@@ -313,9 +311,8 @@ class EncParamsL2:
             sigma.square_rand_proof_verify(self.square_proofs, self.enc_values))))
         if not ok_sq:
             return False
-        pts = curve.unpack_points(self.enc_values.c.L)
-        if not RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
-                                     self.prove_range, rng):
+        if not RPV.verify_rangeproof(self.range_proofs, self.enc_values.c.L,
+                                     self.fp, self.prove_range, rng):
             return False
         c_sq_sum = curve.tree_sum(self.enc_values.c_sq)
         sum_pt = curve.unpack_points(c_sq_sum)[0]
@@ -366,18 +363,18 @@ class EncParamsRangeCompressed:
         fp = cfg.fp
         prove_range = cfg.value_range
         clipped = RPV.clip_f32_to_range_vec(plaintext, fp, prove_range)
-        blind_ints = sc.unpack_scalars(np.asarray(blindings))
+        blind_limbs = np.asarray(blindings)
         m = jnp.asarray(fp.f32_to_scalar_limbs(np.asarray(plaintext, np.float32)))
         if cfg.check_percentage >= 1.0:
             range_proofs, commits = RPV.create_rangeproof(
-                clipped, blind_ints, fp, prove_range, cfg.n_partition, rng)
+                clipped, blind_limbs, fp, prove_range, cfg.n_partition, rng)
             t = Transcript(b"CompressedRandProof")
             rand_proof, enc_values = CRP.prove(
-                t, m, blindings, rng, existing=_spec_points_to_array(commits))
+                t, m, blindings, rng, existing=commits)
         else:
             num = int(round(len(clipped) * cfg.check_percentage))
             range_proofs, _ = RPV.create_rangeproof(
-                clipped[:num], blind_ints[:num], fp, prove_range,
+                clipped[:num], blind_limbs[:, :num], fp, prove_range,
                 cfg.n_partition, rng)
             t = Transcript(b"CompressedRandProof")
             rand_proof, enc_values = CRP.prove(t, m, blindings, rng)
@@ -389,9 +386,9 @@ class EncParamsRangeCompressed:
         if not CRP.verify(t, self.rand_proof, self.enc_values):
             return False
         num = int(round(self.enc_values.L.batch_shape[0] * self.check_percentage))
-        pts = curve.unpack_points(PointArray(
+        pts = PointArray(
             self.enc_values.L.x[:, :num], self.enc_values.L.y[:, :num],
-            self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num]))
+            self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num])
         return RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
                                      self.prove_range, rng)
 
@@ -439,15 +436,14 @@ class EncParamsL2Compressed:
         fp = cfg.fp
         prove_range = cfg.value_range
         clipped = RPV.clip_f32_to_range_vec(plaintext, fp, prove_range)
-        blind_ints = sc.unpack_scalars(np.asarray(blindings))
         r2 = jnp.asarray(pedersen.rnd_scalar_limbs(len(clipped), rng))
-        r2_ints = sc.unpack_scalars(np.asarray(r2))
         range_proofs, commits = RPV.create_rangeproof(
-            clipped, blind_ints, fp, prove_range, cfg.n_partition, rng)
+            clipped, np.asarray(blindings), fp, prove_range,
+            cfg.n_partition, rng)
         square_range_proof, _ = L2RP.create_rangeproof_l2(
-            clipped, r2_ints, fp, cfg.l2_value_range, rng)
+            clipped, r2, fp, cfg.l2_value_range, rng)
         m = jnp.asarray(fp.f32_to_scalar_limbs(clipped))
-        existing = _spec_points_to_array(commits)
+        existing = commits
         t = Transcript(b"CompressedRandProof")
         rand_proof, eg_pairs = CRP.prove(t, m, blindings, rng, existing=existing)
         square_proofs, sq_commits = sigma.square_proof_prove(
@@ -464,9 +460,8 @@ class EncParamsL2Compressed:
         t = Transcript(b"CompressedRandProof")
         if not CRP.verify(t, self.rand_proof, self.enc_values.c):
             return False
-        pts = curve.unpack_points(self.enc_values.c.L)
-        if not RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
-                                     self.prove_range, rng):
+        if not RPV.verify_rangeproof(self.range_proofs, self.enc_values.c.L,
+                                     self.fp, self.prove_range, rng):
             return False
         sum_pt = curve.unpack_points(curve.tree_sum(self.enc_values.c_sq))[0]
         return L2RP.verify_rangeproof_l2(self.square_range_proof, sum_pt,

@@ -47,6 +47,60 @@ def _rol64(lo, hi, r):
     return (lo << r) | (hi >> (32 - r)), (hi << r) | (lo >> (32 - r))
 
 
+def _round(lanes, rc_lo, rc_hi):
+    """One Keccak-f round on 5×5 (lo, hi) lane pairs; rc as uint32 halves
+    (traced scalars under jit so all 24 rounds share ONE loop body — the
+    unrolled form was ~10k HLO ops per permutation and the dominant
+    compile cost of every transcript-bearing jit)."""
+    # theta
+    C = []
+    for x in range(5):
+        lo = lanes[x][0][0]
+        hi = lanes[x][0][1]
+        for y in range(1, 5):
+            lo = lo ^ lanes[x][y][0]
+            hi = hi ^ lanes[x][y][1]
+        C.append((lo, hi))
+    D = []
+    for x in range(5):
+        rl, rh = _rol64(C[(x + 1) % 5][0], C[(x + 1) % 5][1], 1)
+        D.append((C[(x - 1) % 5][0] ^ rl, C[(x - 1) % 5][1] ^ rh))
+    for x in range(5):
+        for y in range(5):
+            lanes[x][y] = (lanes[x][y][0] ^ D[x][0], lanes[x][y][1] ^ D[x][1])
+    # rho + pi
+    B = [[None] * 5 for _ in range(5)]
+    for x in range(5):
+        for y in range(5):
+            B[y][(2 * x + 3 * y) % 5] = _rol64(*lanes[x][y], _ROT[x][y])
+    # chi
+    for x in range(5):
+        for y in range(5):
+            lanes[x][y] = (
+                B[x][y][0] ^ (~B[(x + 1) % 5][y][0] & B[(x + 2) % 5][y][0]),
+                B[x][y][1] ^ (~B[(x + 1) % 5][y][1] & B[(x + 2) % 5][y][1]),
+            )
+    # iota
+    lanes[0][0] = (lanes[0][0][0] ^ rc_lo, lanes[0][0][1] ^ rc_hi)
+    return lanes
+
+
+def _to_lanes(state):
+    return [
+        [(state[2 * (x + 5 * y)], state[2 * (x + 5 * y) + 1]) for y in range(5)]
+        for x in range(5)
+    ]
+
+
+def _from_lanes(lanes, xp):
+    out = [None] * 50
+    for x in range(5):
+        for y in range(5):
+            out[2 * (x + 5 * y)] = lanes[x][y][0]
+            out[2 * (x + 5 * y) + 1] = lanes[x][y][1]
+    return xp.stack(out)
+
+
 def _f1600_body(state, xp):
     """Backend-generic permutation body (xp = jnp under trace, np on host)."""
     lanes = [
@@ -97,10 +151,25 @@ def _f1600_body(state, xp):
     return xp.stack(out)
 
 
+_RC_ARR = np.array(
+    [[rc & 0xFFFFFFFF, rc >> 32] for rc in _RC], dtype=np.uint32)
+
+
 @jax.jit
 def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
-    """state: (50, N) uint32; rows (2l, 2l+1) = lane A[x][y], l = x + 5y."""
-    return _f1600_body(state, jnp)
+    """state: (50, N) uint32; rows (2l, 2l+1) = lane A[x][y], l = x + 5y.
+
+    fori_loop over the 24 rounds (identical bodies, RC table-indexed): the
+    traced graph is one round (~400 ops) instead of 24 unrolled — this is
+    what makes transcript-bearing jits compile in seconds rather than tens
+    of minutes on XLA:CPU (round-2 dryrun regression root cause)."""
+    rc = jnp.asarray(_RC_ARR)
+
+    def body(i, st):
+        lanes = _round(_to_lanes(st), rc[i, 0], rc[i, 1])
+        return _from_lanes(lanes, jnp)
+
+    return jax.lax.fori_loop(0, 24, body, state)
 
 
 def keccak_f1600_np(state: np.ndarray) -> np.ndarray:

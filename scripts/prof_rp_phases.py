@@ -11,9 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from rofl_tpu.utils.cache import setup_cache
+setup_cache()
 
 from rofl_tpu.crypto import pedersen, range_proof as RP
 from rofl_tpu.crypto import range_proof_vec as rpv
@@ -39,11 +38,11 @@ def sync(x):
 
 t = Transcript(b"RangeProof")
 t0 = time.time()
-proof, vb = RP.prove_multiple(t, values, blinds, 8, rng)
+proof, vb, _V = RP.prove_multiple(t, values, blinds, 8, rng)
 print(f"warm prove: {time.time()-t0:.2f}s", flush=True)
 t = Transcript(b"RangeProof")
 t0 = time.time()
-proof, vb = RP.prove_multiple(t, values, blinds, 8, rng)
+proof, vb, _V = RP.prove_multiple(t, values, blinds, 8, rng)
 print(f"second prove: {time.time()-t0:.2f}s", flush=True)
 
 n, m = 8, 2048

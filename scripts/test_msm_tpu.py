@@ -14,9 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from rofl_tpu.utils.cache import setup_cache
+setup_cache()
 
 from rofl_tpu.crypto import pedersen
 from rofl_tpu.ops import curve, kernels

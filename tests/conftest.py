@@ -21,8 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The limb-arithmetic graphs (inversion/sqrt chains) are expensive for XLA to
-# compile; a persistent cache makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# No persistent cache on CPU: XLA:CPU AOT entries never reload (see
+# rofl_tpu/utils/cache.py) — a populated cache is pure failed-load overhead.
+from rofl_tpu.utils.cache import setup_cache  # noqa: E402
+
+setup_cache()

@@ -26,7 +26,7 @@ def rand_blinding():
 def test_single_value_roundtrip():
     n = 8
     t = Transcript(b"RangeProof")
-    proof, v_bytes = RP.prove_multiple(t, [200], [rand_blinding()], n, rng)
+    proof, v_bytes, _V = RP.prove_multiple(t, [200], [rand_blinding()], n, rng)
     tv = Transcript(b"RangeProof")
     assert RP.verify_multiple(tv, proof, v_bytes, n, rng)
 
@@ -36,7 +36,7 @@ def test_aggregated_roundtrip_and_tamper():
     values = [0, 1, 255, 100]
     blinds = [rand_blinding() for _ in values]
     t = Transcript(b"RangeProof")
-    proof, v_bytes = RP.prove_multiple(t, values, blinds, n, rng)
+    proof, v_bytes, _V = RP.prove_multiple(t, values, blinds, n, rng)
     assert RP.verify_multiple(Transcript(b"RangeProof"), proof, v_bytes, n, rng)
 
     # out-of-range value should fail to verify against honest commitments:
@@ -55,7 +55,7 @@ def test_aggregated_roundtrip_and_tamper():
 def test_serialization_roundtrip():
     n = 8
     t = Transcript(b"RangeProof")
-    proof, v_bytes = RP.prove_multiple(t, [17, 3], [rand_blinding()] * 2, n, rng)
+    proof, v_bytes, _V = RP.prove_multiple(t, [17, 3], [rand_blinding()] * 2, n, rng)
     data = proof.to_bytes()
     back = RP.RangeProof.from_bytes(data)
     assert back.to_bytes() == data
@@ -84,8 +84,7 @@ def test_rangeproof_vec_pipeline():
     proofs2, commits2 = RPV.create_rangeproof(
         values, [0, 0, 0], FP, prove_range, 1, rng
     )
-    pa = curve.pack_points(commits2)
-    got, ok = bsgs.solve_discrete_log(pa, m=1 << 16, n_bits=16)
+    got, ok = bsgs.solve_discrete_log(commits2, m=1 << 16, n_bits=16)
     assert bool(np.all(np.asarray(ok)))
     out = FP.scalar_limbs_to_f32(np.asarray(got))
     np.testing.assert_allclose(out, values, atol=1 / 128)
