@@ -22,8 +22,18 @@ import time
 
 import numpy as np
 
-DEFAULT_DIMS = [1024]  # reference bench_constants.rs uses 32768..524288
+# reference dims (bench_constants.rs:1-16); override with --dims for
+# quick spot runs
+DEFAULT_DIMS = [32768, 131072, 524288]
 DEFAULT_RANGE = 8
+
+
+def _sync(*arrays):
+    """Force device completion via a tiny host transfer per array —
+    `block_until_ready` does not actually wait through the axon tunnel
+    (benchmarks/RESULTS_r2.md methodology note)."""
+    for a in arrays:
+        np.asarray(a[..., :1, :1] if getattr(a, "ndim", 0) >= 2 else a)
 N_PARTITION_PART36 = 16  # rangeproof_part36_bench.rs:36
 
 
@@ -105,7 +115,7 @@ def bench_rangeproof(s: Suite, d: int, n_partition: int = 1,
     from rofl_tpu.crypto import range_proof_vec as rpv
 
     values = s.rand_values(d)
-    blind = s.rand_blind_ints(d)
+    blind = np.asarray(s.scalar_limbs(d))
 
     def sample(_):
         return rpv.create_rangeproof(values, blind, s.fp, s.range,
@@ -119,7 +129,7 @@ def bench_verify_rangeproof(s: Suite, d: int, n_partition: int = 1,
     from rofl_tpu.crypto import range_proof_vec as rpv
 
     values = s.rand_values(d)
-    blind = s.rand_blind_ints(d)
+    blind = np.asarray(s.scalar_limbs(d))
     proofs, commits = rpv.create_rangeproof(values, blind, s.fp, s.range,
                                             n_partition, s.rng)
 
@@ -175,7 +185,7 @@ def bench_randproof(s: Suite, d: int):
 
     def sample(_):
         proof, c = sigma.rand_proof_prove(m, r, s.rng)
-        jax.block_until_ready((proof.z_m, c.L.x))
+        _sync(proof.z_m, c.L.x)
         return proof, c
 
     s.run("create-randproof", [s.fp.n_bits, d], sample)
@@ -199,7 +209,7 @@ def bench_squarerandproof(s: Suite, d: int):
 
     def sample(_):
         proof, c = sigma.square_rand_proof_prove(m, r1, r2, s.rng)
-        jax.block_until_ready((proof.z_m, c.c.L.x))
+        _sync(proof.z_m, c.c.L.x)
         return proof, c
 
     s.run("create-squarerandproof", [s.fp.n_bits, d], sample)
@@ -223,7 +233,7 @@ def bench_squareproof(s: Suite, d: int):
 
     def sample(_):
         proof, c = sigma.square_proof_prove(m, r1, r2, s.rng)
-        jax.block_until_ready((proof.z_m, c.c_l.x))
+        _sync(proof.z_m, c.c_l.x)
         return proof, c
 
     s.run("create-squareproof", [s.fp.n_bits, d], sample)
@@ -267,12 +277,12 @@ def bench_addelgamal(s: Suite, d: int):
 
     a = pedersen.elgamal_commit(s.value_limbs(d), s.scalar_limbs(d))
     b = pedersen.elgamal_commit(s.value_limbs(d), s.scalar_limbs(d))
-    jax.block_until_ready((a.L.x, b.L.x))
+    _sync(a.L.x, b.L.x)
     add = jax.jit(pedersen.add_pairs)
 
     def sample(_):
         out = add(a, b)
-        jax.block_until_ready(out.L.x)
+        _sync(out.L.x)
         return out
 
     s.run("bench_paper_addelgamal", [d], sample)
@@ -293,11 +303,11 @@ def bench_dlog(s: Suite, d: int):
     import jax.numpy as jnp
 
     pts = pedersen.pedersen_commit_no_blinding(jnp.asarray(limbs))
-    jax.block_until_ready(pts.x)
+    _sync(pts.x)
 
     def sample(_):
         out, ok = bsgs.solve_discrete_log(pts, table_m, s.fp.bsgs_n_bits)
-        jax.block_until_ready(out)
+        _sync(*out)
         assert np.asarray(ok).all()
         return out
 

@@ -374,6 +374,7 @@ def prove_multiple_batch(
     Requires G power-of-two (group reductions) — callers fall back to the
     sequential path otherwise.
     """
+    _tick(None)
     values_chunks = np.asarray(values_chunks, dtype=np.uint64)
     G_n, m = values_chunks.shape
     nm = n * m
@@ -388,6 +389,7 @@ def prove_multiple_batch(
     gamma_limbs = jnp.asarray(blind_limbs)
     V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
     V_bytes_all = _compress_bytes(V)
+    _tick("batch V commit+compress")
     V_chunks = [V_bytes_all[g * m:(g + 1) * m] for g in range(G_n)]
     for t, vbs in zip(transcripts, V_chunks):
         t.append_message(b"dom-sep", b"rangeproof v1")
@@ -425,6 +427,7 @@ def prove_multiple_batch(
     AS_bytes = _compress_bytes(PointArray(*[
         jnp.concatenate([a, s], axis=1) for a, s in zip(A_pt, S_pt)
     ]))
+    _tick("batch A+S msm+compress")
     ys, zs = [], []
     for g, t in enumerate(transcripts):
         _append_point(t, b"A", AS_bytes[g])
@@ -453,6 +456,7 @@ def prove_multiple_batch(
     t1f_i = sc.unpack_scalars(np.asarray(t1f))
     t1_i = [(f - a0 - a2) % SS.L for f, a0, a2 in zip(t1f_i, t0_i, t2_i)]
 
+    _tick("batch t-poly")
     t1_blind = sc.unpack_scalars(pedersen.rnd_scalar_limbs(G_n, rng))
     t2_blind = sc.unpack_scalars(pedersen.rnd_scalar_limbs(G_n, rng))
     T_vals = _consts(t1_i + t2_i)           # (16, 2G): T1s then T2s
@@ -497,8 +501,10 @@ def prove_multiple_batch(
                    sc.mul(r1.reshape(16, G_n, nm), x_rep))
 
     y_invs = [pow(y, SS.L - 2, SS.L) for y in ys]
+    _tick("batch T/x/lr")
     ipps = _ipp_create_batch(transcripts, ws, gens_G_t, gens_H_t,
                              a_vec, b_vec, nm, y_invs)
+    _tick("batch ipp total")
 
     proofs = []
     for g in range(G_n):
@@ -576,6 +582,7 @@ def _ipp_create_batch(
         both = _compress_bytes(PointArray(*[
             jnp.concatenate([l, r], axis=1) for l, r in zip(L_pt, R_pt)
         ]))
+        _tick(f"  ipp rnd s={s} L/R+compress")
         us, u_invs = [], []
         for g, t in enumerate(transcripts):
             Lb, Rb = both[g], both[G_n + g]

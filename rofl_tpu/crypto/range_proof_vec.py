@@ -53,7 +53,11 @@ def shifted_fixed_values(values, fp: FpConfig, prove_range: int) -> np.ndarray:
     l_lo64 = np.uint64(SS.L & 0xFFFFFFFFFFFFFFFF)
     pos = bits + offset
     with np.errstate(over="ignore"):
-        negv = l_lo64 - bits + offset              # wraps mod 2^64
+        # (l - bits + offset) mod l: when bits <= offset the sum wraps past
+        # l and reduces to offset - bits; otherwise take the low 64 bits of
+        # l - bits + offset (exact under uint64 wrap-around)
+        negv = np.where(bits <= offset, offset - bits,
+                        l_lo64 - bits + offset)
     return np.where(neg, negv, pos) & np.uint64(fp.max_bits)
 
 

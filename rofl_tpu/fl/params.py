@@ -239,7 +239,7 @@ class EncParamsRange:
         return cls(enc_values, rand_proofs, range_proofs, prove_range,
                    cfg.check_percentage, fp)
 
-    def verify(self, rng: np.random.Generator) -> bool:
+    def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         ok_rand = bool(np.all(np.asarray(
             sigma.rand_proof_verify(self.rand_proofs, self.enc_values))))
         if not ok_rand:
@@ -249,7 +249,7 @@ class EncParamsRange:
             self.enc_values.L.x[:, :num], self.enc_values.L.y[:, :num],
             self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num])
         return RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
-                                     self.prove_range, rng)
+                                     self.prove_range, rng, mesh=mesh)
 
     def serialize(self) -> bytes:
         msg = pb.EncRangeData(
@@ -306,13 +306,14 @@ class EncParamsL2:
         return cls(enc_values, square_proofs, range_proofs, square_range_proof,
                    prove_range, cfg.l2_value_range, fp)
 
-    def verify(self, rng: np.random.Generator) -> bool:
+    def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         ok_sq = bool(np.all(np.asarray(
             sigma.square_rand_proof_verify(self.square_proofs, self.enc_values))))
         if not ok_sq:
             return False
         if not RPV.verify_rangeproof(self.range_proofs, self.enc_values.c.L,
-                                     self.fp, self.prove_range, rng):
+                                     self.fp, self.prove_range, rng,
+                                     mesh=mesh):
             return False
         c_sq_sum = curve.tree_sum(self.enc_values.c_sq)
         sum_pt = curve.unpack_points(c_sq_sum)[0]
@@ -381,7 +382,7 @@ class EncParamsRangeCompressed:
         return cls(enc_values, rand_proof, range_proofs, prove_range,
                    cfg.check_percentage, fp)
 
-    def verify(self, rng: np.random.Generator) -> bool:
+    def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         t = Transcript(b"CompressedRandProof")
         if not CRP.verify(t, self.rand_proof, self.enc_values):
             return False
@@ -390,7 +391,7 @@ class EncParamsRangeCompressed:
             self.enc_values.L.x[:, :num], self.enc_values.L.y[:, :num],
             self.enc_values.L.z[:, :num], self.enc_values.L.t[:, :num])
         return RPV.verify_rangeproof(self.range_proofs, pts, self.fp,
-                                     self.prove_range, rng)
+                                     self.prove_range, rng, mesh=mesh)
 
     def serialize(self) -> bytes:
         msg = pb.EncRangeData(
@@ -452,7 +453,7 @@ class EncParamsL2Compressed:
         return cls(merged, square_proofs, rand_proof, range_proofs,
                    square_range_proof, prove_range, cfg.l2_value_range, fp)
 
-    def verify(self, rng: np.random.Generator) -> bool:
+    def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         sq_c = sigma.SquareCommitVec(self.enc_values.c.L, self.enc_values.c_sq)
         if not bool(np.all(np.asarray(
                 sigma.square_proof_verify(self.square_proofs, sq_c)))):
@@ -461,7 +462,8 @@ class EncParamsL2Compressed:
         if not CRP.verify(t, self.rand_proof, self.enc_values.c):
             return False
         if not RPV.verify_rangeproof(self.range_proofs, self.enc_values.c.L,
-                                     self.fp, self.prove_range, rng):
+                                     self.fp, self.prove_range, rng,
+                                     mesh=mesh):
             return False
         sum_pt = curve.unpack_points(curve.tree_sum(self.enc_values.c_sq))[0]
         return L2RP.verify_rangeproof_l2(self.square_range_proof, sum_pt,
@@ -519,11 +521,15 @@ def deserialize(enc_type: int, data: bytes, fp: FpConfig):
     return _MODE_CLASSES[enc_type].deserialize(data, fp)
 
 
-def verify(params, rng: np.random.Generator) -> bool:
-    """EncModelParams::verify (params.rs:181-291); Plain is trivially true."""
+def verify(params, rng: np.random.Generator, mesh=None) -> bool:
+    """EncModelParams::verify (params.rs:181-291); Plain is trivially true.
+
+    mesh: optional jax Mesh — the range-proof verification mega-MSM shards
+    its terms over the 'param' axis (the reference's rayon verification
+    pool becomes device parallelism, SURVEY.md §2.5 P3/P7)."""
     if isinstance(params, PlainParams):
         return True
-    return params.verify(rng)
+    return params.verify(rng, mesh=mesh)
 
 
 def enc_pairs_of(params) -> ElGamalPairArray | None:

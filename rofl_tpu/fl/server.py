@@ -95,6 +95,19 @@ class TrainingState:
         self.lock = asyncio.Lock()
         self.verify_pool = ThreadPoolExecutor(cfg.verification_threads)
         self.crypto_pool = ThreadPoolExecutor(1)  # serialize device work
+        # multi-chip: shard the verification mega-MSM over a 'param' mesh
+        # when more than one device is attached (SURVEY.md §2.5 P3/P7 —
+        # the reference's rayon verify pool becomes device parallelism)
+        self.mesh = None
+        try:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import param_mesh
+
+                self.mesh = param_mesh()
+        except Exception:
+            self.mesh = None
         self.bench = BenchLogger(cfg.bench_dir or "", f"server_model{cfg.model_id}") \
             if cfg.bench_dir else BenchLogger("", "server")
         self.rng = np.random.default_rng()
@@ -189,7 +202,8 @@ class TrainingState:
         )
         # verification on the dedicated pool (eager or lazily awaited)
         fut = loop.run_in_executor(
-            self.verify_pool, P.verify, enc_params, self.rng
+            self.verify_pool, lambda: P.verify(enc_params, self.rng,
+                                               mesh=self.mesh)
         )
         state.verify_tasks.append(fut)
         async with self.lock:

@@ -18,10 +18,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from . import fe
 from .dispatch import use_pallas
 from ..spec import field as SF
 from ..spec import ristretto as SR
+
+# Lane bucketing for the jnp paths: eager top-level calls pad their lane
+# count to a pow2 with a floor so the per-shape XLA:CPU compiles (ladder
+# ~20 s, compress ~32 s each) are shared across callers/tests instead of
+# recompiling for every distinct size. Only concrete (non-tracer) 2-D
+# arrays are bucketed — inside an outer jit the inner jits are inlined
+# anyway, so padding there would only grow the traced graph.
+_BUCKET_FLOOR = int(os.environ.get("ROFL_JNP_BUCKET", "256"))
+
+
+def _bucket(n: int) -> int:
+    if _BUCKET_FLOOR <= 0:
+        return n
+    p2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    return max(_BUCKET_FLOOR, p2)
+
+
+def _bucketable(*arrays) -> int | None:
+    """Common lane count if every array is a concrete 2-D (16, N) (N>=1)
+    or (16, 1) broadcast operand; None disables bucketing."""
+    if _BUCKET_FLOOR <= 0:
+        return None
+    n = None
+    for a in arrays:
+        if isinstance(a, jax.core.Tracer) or a.ndim != 2:
+            return None
+        ln = a.shape[-1]
+        if ln != 1:
+            if n is not None and ln != n:
+                return None
+            n = ln
+    if n is None or _bucket(n) == n:
+        return None
+    return n
+
+
+def _pad_pt(p: "PointArray", m: int) -> "PointArray":
+    """Pad lanes to m with identity points (0, 1, 1, 0)."""
+    n = p.x.shape[-1]
+    pad = m - n
+    zero = jnp.zeros((16, pad), jnp.uint32)
+    one = jnp.zeros((16, pad), jnp.uint32).at[0].set(1)
+    return PointArray(
+        jnp.concatenate([p.x, zero], axis=1),
+        jnp.concatenate([p.y, one], axis=1),
+        jnp.concatenate([p.z, one], axis=1),
+        jnp.concatenate([p.t, zero], axis=1),
+    )
+
+
+def _pad_limbs(a: jnp.ndarray, m: int) -> jnp.ndarray:
+    return jnp.pad(a, ((0, 0), (0, m - a.shape[-1])))
 
 
 class PointArray(NamedTuple):
@@ -85,6 +139,13 @@ def add(p: PointArray, q: PointArray) -> PointArray:
         from . import kernels
 
         return PointArray(*kernels.point_add(tuple(p), tuple(q)))
+    n = _bucketable(*p, *q)
+    if n is not None:
+        m = _bucket(n)
+        pb = _pad_pt(p, m) if p.x.shape[-1] == n else p
+        qb = _pad_pt(q, m) if q.x.shape[-1] == n else q
+        r = _add_jnp(pb, qb)
+        return PointArray(*[c[:, :n] for c in r])
     return _add_jnp(p, q)
 
 
@@ -106,6 +167,10 @@ def double(p: PointArray) -> PointArray:
         from . import kernels
 
         return PointArray(*kernels.point_double(tuple(p)))
+    n = _bucketable(*p)
+    if n is not None:
+        r = _double_jnp(_pad_pt(p, _bucket(n)))
+        return PointArray(*[c[:, :n] for c in r])
     return _double_jnp(p)
 
 
@@ -135,9 +200,19 @@ def select(cond: jnp.ndarray, p_true: PointArray, p_false: PointArray) -> PointA
     )
 
 
-@jax.jit
 def eq(p: PointArray, q: PointArray) -> jnp.ndarray:
     """Batched ristretto equality (dalek ct_eq): X1Y2==Y1X2 | X1X2==Y1Y2."""
+    n = _bucketable(*p, *q)
+    if n is not None and not use_pallas():
+        m = _bucket(n)
+        pb = _pad_pt(p, m) if p.x.shape[-1] == n else p
+        qb = _pad_pt(q, m) if q.x.shape[-1] == n else q
+        return _eq_jnp(pb, qb)[:n]
+    return _eq_jnp(p, q)
+
+
+@jax.jit
+def _eq_jnp(p: PointArray, q: PointArray) -> jnp.ndarray:
     return fe.eq(fe.mul(p.x, q.y), fe.mul(p.y, q.x)) | fe.eq(
         fe.mul(p.x, q.x), fe.mul(p.y, q.y)
     )
@@ -153,6 +228,13 @@ def scalar_mul(p: PointArray, k: jnp.ndarray) -> PointArray:
         from . import kernels
 
         return PointArray(*kernels.scalar_mul(tuple(p), k))
+    n = _bucketable(*p, k)
+    if n is not None:
+        m = _bucket(n)
+        pb = _pad_pt(p, m) if p.x.shape[-1] == n else p
+        kb = _pad_limbs(k, m) if k.shape[-1] == n else k
+        r = _scalar_mul_jnp(pb, kb)
+        return PointArray(*[c[:, :n] for c in r])
     return _scalar_mul_jnp(p, k)
 
 
@@ -184,6 +266,9 @@ def compress(p: PointArray) -> jnp.ndarray:
         from . import kernels
 
         return kernels.compress(tuple(p))
+    n = _bucketable(*p)
+    if n is not None:
+        return _compress_jnp(_pad_pt(p, _bucket(n)))[:, :n]
     return _compress_jnp(p)
 
 
@@ -222,6 +307,10 @@ def decompress(s: jnp.ndarray) -> tuple[PointArray, jnp.ndarray]:
 
         pt, valid = kernels.decompress(s)
         return PointArray(*pt), valid
+    n = _bucketable(s)
+    if n is not None:
+        pt, valid = _decompress_jnp(_pad_limbs(s, _bucket(n)))
+        return PointArray(*[c[:, :n] for c in pt]), valid[:n]
     return _decompress_jnp(s)
 
 

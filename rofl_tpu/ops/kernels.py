@@ -15,8 +15,13 @@ Design:
     identical algorithms as ops/fe.py — bit-exact by construction).
   * A point is 4 such lists (extended twisted-Edwards X, Y, Z, T).
   * Public wrappers take/return the (16, N) uint32 arrays & PointArray
-    used everywhere else; they pad N to a tile multiple and set up the
-    grid. ops/curve.py & ops/sc.py route here on TPU.
+    used everywhere else. Every pallas_call runs at a CANONICAL lane
+    count (pad to S_PAD, else chunks of K_CHUNK): Mosaic compiles per
+    (kernel, block, grid) and a single remote compile costs 15-90 s with
+    no parallelism, but identical-shape calls dedupe across jits and
+    persist in the compilation cache — so the whole framework needs
+    O(#kernels) compiles instead of O(#kernels x #workload-shapes).
+    ops/curve.py & ops/sc.py route here on TPU.
   * Heavy sequential structure (256-bit double-and-add ladders, inversion
     chains) lives INSIDE kernels as fori_loops: one compiled body, zero
     HBM round-trips per step.
@@ -44,11 +49,10 @@ MASK = np.uint32(0xFFFF)
 U38 = np.uint32(38)
 TILE = 1024  # lanes per block; (16, 1024) uint32 = 64 KiB per operand
 
-_INTERPRET = os.environ.get("ROFL_PALLAS", "").lower() == "interp"
-
-
 def _interpret() -> bool:
-    return _INTERPRET
+    """Read per call (not at import) so conformance tests can flip
+    ROFL_PALLAS=interp for just their own module."""
+    return os.environ.get("ROFL_PALLAS", "").lower() == "interp"
 
 
 # =============================================================================
@@ -311,31 +315,106 @@ def _write_pt(refs, p):
 # =============================================================================
 
 
+# Canonical-shape execution (round 3). Mosaic compiles per (kernel, block,
+# grid) triple and a single compile through the remote tunnel costs
+# 15-90 s with NO cross-compile parallelism — but identical-shape
+# pallas_calls dedupe across jits and persist in the compilation cache
+# (measured: a jit with two 65536-lane msm instances compiled in 24 s
+# right after the first 65536 compile took 180 s). So every kernel runs at
+# ONE canonical lane count: inputs pad to a multiple of K_CHUNK and the
+# wrapper loops identical-shape calls, making the total number of Mosaic
+# compiles O(#kernels) for the whole framework instead of O(#kernels x
+# #workload-shapes). In interpreter mode (CPU conformance tests) padding
+# to 32k lanes would make the interpreted kernels crawl, so the old
+# tile-level padding is used there.
+K_CHUNK = int(os.environ.get("ROFL_KERNEL_CHUNK", str(32768)))
+S_PAD = int(os.environ.get("ROFL_KERNEL_SMALL", str(4096)))  # small canon
+
+
 def _tile_for(n: int, cap: int = TILE) -> int:
-    """Block width: capped, 128-aligned, pow2 below the cap — so small
-    shapes share a handful of (block, grid) combos instead of one each."""
+    """Block width: capped, 128-aligned, pow2 below the cap."""
     if n >= cap:
         return cap
     b = -(-n // 128)
     return 128 * (1 << (b - 1).bit_length()) if b > 1 else 128
 
 
-def _grid_blocks(n: int, tile: int) -> int:
-    """Blocks per grid, rounded up to a power of two: Mosaic recompiles per
-    (kernel, block, GRID) triple, so bucketing grids to pow2 keeps the
-    number of distinct compiles logarithmic instead of linear in the shape
-    zoo (compile time through the remote AOT helper is ~minutes each)."""
-    b = -(-n // tile)
-    return 1 << (b - 1).bit_length() if b > 1 else 1
+def _plan(n: int, tile_cap: int = TILE) -> tuple[int, int, int]:
+    """(padded_total, chunk, tile) for a lane count n."""
+    if _interpret():
+        tile = _tile_for(n, tile_cap)
+        m = -(-n // tile) * tile
+        return m, m, tile
+    if n <= S_PAD:
+        return S_PAD, S_PAD, min(tile_cap, S_PAD)
+    m = -(-n // K_CHUNK) * K_CHUNK
+    return m, K_CHUNK, min(tile_cap, K_CHUNK)
 
 
-def _pad_lanes(arr, tile):
+def _pad_lanes_to(arr, m):
     n = arr.shape[-1]
-    m = _grid_blocks(n, tile) * tile
     if m == n:
         return arr
     pad = [(0, 0)] * (arr.ndim - 1) + [(0, m - n)]
     return jnp.pad(arr, pad)
+
+
+def _pad_identity_to(c, coord_idx, m):
+    """Pad point-coord lanes to m with identity coords (0,1,1,0)."""
+    n = c.shape[-1]
+    if m == n:
+        return c
+    fill = np.zeros((NLIMB, m - n), np.uint32)
+    if coord_idx in (1, 2):  # y = z = 1
+        fill[0] = 1
+    return jnp.concatenate([c, jnp.asarray(fill)], axis=-1)
+
+
+def _chunked_pallas(kernel, ins, in_rows, out_rows, tile_cap=TILE,
+                    out_width=None):
+    """Run `kernel` over canonical chunks of the padded lane axis.
+
+    ins: arrays (rows_i, total) sharing the padded lane count; out_rows:
+    row counts of the outputs; out_width: output lanes per input lane tile
+    (128 for the reducing msm kernel, tile otherwise). Returns concatenated
+    outputs at the padded lane count (caller slices)."""
+    total = ins[0].shape[-1]
+    chunk = total if _interpret() else min(total, K_CHUNK)
+    tile = min(tile_cap, chunk)
+    ow = out_width or tile
+    nb = chunk // tile
+    in_specs = [
+        pl.BlockSpec((r, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for r in in_rows
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((r, ow), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for r in out_rows
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((r, nb * ow), jnp.uint32) for r in out_rows
+    )
+    single = len(out_rows) == 1
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape[0] if single else out_shape,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if single else out_specs,
+        interpret=_interpret(),
+    )
+    outs = []
+    for c0 in range(0, total, chunk):
+        res = call(*[a[:, c0:c0 + chunk] for a in ins])
+        outs.append((res,) if single else res)
+    cat = tuple(
+        jnp.concatenate([o[i] for o in outs], axis=-1)
+        if len(outs) > 1 else outs[0][i]
+        for i in range(len(out_rows))
+    )
+    return cat[0] if single else cat
+
+
 
 
 def _pt_flat(p):
@@ -356,10 +435,6 @@ def _double_kernel(px, py, pz, pt, ox, oy, oz, ot):
     _write_pt((ox, oy, oz, ot), r)
 
 
-def _block_specs(n_blocks: int, tile: int):
-    return pl.BlockSpec((NLIMB, tile), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-
 
 @functools.partial(jax.jit, static_argnums=())
 def point_add(p, q):
@@ -369,41 +444,25 @@ def point_add(p, q):
     q = tuple(jnp.broadcast_to(c, shapes) for c in q)
     p = _pt_flat(p)
     q = _pt_flat(q)
-    tile = _tile_for(p[0].shape[-1])
-    pp = tuple(_pad_lanes(c, tile) for c in p)
-    qq = tuple(_pad_lanes(c, tile) for c in q)
-    m = pp[0].shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _add_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32)
-                        for _ in range(4)),
-        grid=(m // tile,),
-        in_specs=[spec] * 8,
-        out_specs=tuple([spec] * 4),
-        interpret=_interpret(),
-    )(*pp, *qq)
-    return tuple(c[:, :p[0].shape[-1]].reshape(shapes) for c in out)
+    n = p[0].shape[-1]
+    m, _, tile = _plan(n)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    qq = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(q))
+    out = _chunked_pallas(_add_kernel, list(pp + qq), [NLIMB] * 8,
+                          [NLIMB] * 4, tile_cap=tile)
+    return tuple(c[:, :n].reshape(shapes) for c in out)
 
 
 @functools.partial(jax.jit, static_argnums=())
 def point_double(p):
     shapes = p[0].shape
     p = _pt_flat(p)
-    tile = _tile_for(p[0].shape[-1])
-    pp = tuple(_pad_lanes(c, tile) for c in p)
-    m = pp[0].shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _double_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32)
-                        for _ in range(4)),
-        grid=(m // tile,),
-        in_specs=[spec] * 4,
-        out_specs=tuple([spec] * 4),
-        interpret=_interpret(),
-    )(*pp)
-    return tuple(c[:, :p[0].shape[-1]].reshape(shapes) for c in out)
+    n = p[0].shape[-1]
+    m, _, tile = _plan(n)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    out = _chunked_pallas(_double_kernel, list(pp), [NLIMB] * 4,
+                          [NLIMB] * 4, tile_cap=tile)
+    return tuple(c[:, :n].reshape(shapes) for c in out)
 
 
 # -- full variable-base scalar multiplication (256-bit ladder in-kernel) -----
@@ -430,10 +489,6 @@ def _scalar_mul_kernel(k, px, py, pz, pt, ox, oy, oz, ot):
     _write_pt((ox, oy, oz, ot), acc)
 
 
-def _scalar_mul_tile(n: int) -> int:
-    # ladder carries ~2 points + temporaries; keep blocks modest
-    return _tile_for(n, cap=512)
-
 
 @functools.partial(jax.jit, static_argnums=())
 def scalar_mul(p, k):
@@ -443,88 +498,30 @@ def scalar_mul(p, k):
     p = _pt_flat(p)
     n = p[0].shape[-1]
     k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
-    tile = _scalar_mul_tile(n)
-    pp = tuple(_pad_lanes(c, tile) for c in p)
-    kk = _pad_lanes(k, tile)
-    m = pp[0].shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _scalar_mul_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32)
-                        for _ in range(4)),
-        grid=(m // tile,),
-        in_specs=[spec] * 5,
-        out_specs=tuple([spec] * 4),
-        interpret=_interpret(),
-    )(kk, *pp)
+    m, _, tile = _plan(n, tile_cap=512)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    kk = _pad_lanes_to(k, m)
+    out = _chunked_pallas(_scalar_mul_kernel, [kk, *pp], [NLIMB] * 5,
+                          [NLIMB] * 4, tile_cap=tile)
     return tuple(c[:, :n].reshape(shapes) for c in out)
 
 
 # -- block tree-sum (point reduction) -----------------------------------------
 
 
-def _block_sum_kernel(px, py, pz, pt, ox, oy, oz, ot):
-    """Lane-wise strided accumulation: (16, T) block -> (16, 128) partial
-    sums (column j holds the sum of lanes j, j+128, j+256, ...). One
-    point-add fori body; dynamic slicing only on refs (Mosaic supports
-    pl.ds on refs, not on values)."""
-    T = px.shape[-1]
-
-    def read_slice(start):
-        return tuple(
-            _unstack(r[:, pl.ds(start, 128)]) for r in (px, py, pz, pt)
-        )
-
-    def body1(j, acc):
-        return _as_lists(p_add(acc, read_slice(j * 128)))
-
-    acc = jax.lax.fori_loop(1, T // 128, body1, _as_lists(read_slice(0)))
-    for r, coord in zip((ox, oy, oz, ot), acc):
-        r[:, :] = _stack(coord)
-
-
-def _pad_identity(c, coord_idx, tile):
-    """Pad lanes to a pow2-grid tile multiple with identity coords
-    (0,1,1,0)."""
-    n = c.shape[-1]
-    m = _grid_blocks(n, tile) * tile
-    if m == n:
-        return c
-    fill = np.zeros((NLIMB, m - n), np.uint32)
-    if coord_idx in (1, 2):  # y = z = 1
-        fill[0] = 1
-    return jnp.concatenate([c, jnp.asarray(fill)], axis=-1)
-
-
-def _sum_once(p, tile):
-    pp = tuple(_pad_identity(c, i, tile) for i, c in enumerate(p))
-    m = pp[0].shape[-1]
-    in_spec = _block_specs(m // tile, tile)
-    out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _block_sum_kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((NLIMB, (m // tile) * 128), jnp.uint32)
-            for _ in range(4)),
-        grid=(m // tile,),
-        in_specs=[in_spec] * 4,
-        out_specs=tuple([out_spec] * 4),
-        interpret=_interpret(),
-    )(*pp)
-
-
 @functools.partial(jax.jit, static_argnums=())
 def tree_sum(p):
-    """Σ over the lane axis → single point as (16, 1) coords."""
+    """Σ over the lane axis → single point as (16, 1) coords.
+
+    Log-depth halving point_adds; every add runs at a canonical lane
+    count, so the whole reduction ladder reuses the ONE compiled add
+    kernel (total lane work ≈ n adds — same as a block-sum design, with
+    zero extra kernel shapes)."""
     p = _pt_flat(p)
-    while p[0].shape[-1] > 128:
-        n = p[0].shape[-1]
-        tile = min(2048, -(-n // 128) * 128)
-        p = _sum_once(p, tile)
-    # final 128 → 1 by halving point_add calls
-    p = tuple(_pad_identity(c, i, 128) for i, c in enumerate(p))
-    w = 64
+    n = p[0].shape[-1]
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    p = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    w = m // 2
     while w >= 1:
         left = tuple(c[:, :w] for c in p)
         right = tuple(c[:, w:2 * w] for c in p)
@@ -556,19 +553,14 @@ def _halving_groups(point_add_fn, arrs, G, width, pair_shape):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def tree_sum_groups(p, group: int):
-    """Per-group point sums: lanes = G·group (group pow2, G pow2) →
-    (16, G) coords, group-major order preserved."""
+    """Per-group point sums: lanes = G·group (group pow2) → (16, G)
+    coords, group-major order preserved — halving point_adds at canonical
+    shapes (see tree_sum)."""
     p = _pt_flat(p)
     L = p[0].shape[-1]
-    assert L % group == 0
+    assert L % group == 0 and group & (group - 1) == 0
     G = L // group
-    width = group
-    while width > 128:
-        tile = min(2048, width)
-        assert width % tile == 0 or tile % width == 0
-        p = _sum_once(p, tile)
-        width = (width // tile) * 128
-    return _halving_groups(point_add, p, G, width, 4)
+    return _halving_groups(point_add, p, G, group, 4)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -576,26 +568,9 @@ def sc_sum_groups(a, group: int):
     """Per-group mod-l sums: (16, G·group) → (16, G)."""
     a = a.reshape(NLIMB, -1)
     L = a.shape[-1]
-    assert L % group == 0
+    assert L % group == 0 and group & (group - 1) == 0
     G = L // group
-    width = group
-    while width > 128:
-        tile = min(2048, width)
-        m = a.shape[-1]
-        in_spec = _block_specs(m // tile, tile)
-        out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-        a = pl.pallas_call(
-            _sc_sum_kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (NLIMB, (m // tile) * 128), jnp.uint32),
-            grid=(m // tile,),
-            in_specs=[in_spec],
-            out_specs=out_spec,
-            interpret=_interpret(),
-        )(a)
-        width = (width // tile) * 128
-    return _halving_groups(sc_add, a, G, width, 1)
+    return _halving_groups(sc_add, a, G, group, 1)
 
 
 # -- ristretto compress / decompress ------------------------------------------
@@ -630,18 +605,10 @@ def compress(p):
     shapes = p[0].shape
     p = _pt_flat(p)
     n = p[0].shape[-1]
-    tile = _tile_for(n)
-    pp = tuple(_pad_identity(c, i, tile) for i, c in enumerate(p))
-    m = pp[0].shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _compress_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
-        grid=(m // tile,),
-        in_specs=[spec] * 4,
-        out_specs=spec,
-        interpret=_interpret(),
-    )(*pp)
+    m, _, tile = _plan(n)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    out = _chunked_pallas(_compress_kernel, list(pp), [NLIMB] * 4,
+                          [NLIMB], tile_cap=tile)
     return out[:, :n].reshape(shapes)
 
 
@@ -680,22 +647,10 @@ def decompress(s):
     shape = s.shape
     s = s.reshape(NLIMB, -1)
     n = s.shape[-1]
-    tile = _tile_for(n)
-    ss = _pad_lanes(s, tile)
-    m = ss.shape[-1]
-    spec = _block_specs(m // tile, tile)
-    vspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _decompress_kernel,
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32)] * 4
-            + [jax.ShapeDtypeStruct((8, m), jnp.uint32)]
-        ),
-        grid=(m // tile,),
-        in_specs=[spec],
-        out_specs=tuple([spec] * 4 + [vspec]),
-        interpret=_interpret(),
-    )(ss)
+    m, _, tile = _plan(n)
+    ss = _pad_lanes_to(s, m)
+    out = _chunked_pallas(_decompress_kernel, [ss], [NLIMB],
+                          [NLIMB] * 4 + [8], tile_cap=tile)
     pt = tuple(c[:, :n].reshape(shape) for c in out[:4])
     valid = out[4][0, :n].astype(jnp.bool_).reshape(shape[1:])
     return pt, valid
@@ -745,20 +700,11 @@ def _msm_bitplane_kernel(k_ref, px, py, pz, pt, ox, oy, oz, ot):
     _write_pt((ox, oy, oz, ot), p_unstack(acc))
 
 
-def _msm_call(k, p, tile):
-    nb = p[0].shape[-1] // tile
-    spec = _block_specs(nb, tile)
-    out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _msm_bitplane_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, nb * 128), jnp.uint32)
-                        for _ in range(4)),
-        grid=(nb,),
-        in_specs=[spec] * 5,
-        out_specs=tuple([out_spec] * 4),
-        interpret=_interpret(),
-    )(k, *p)
+def _msm_partials(k, p, tile):
+    """Canonical-chunk bit-plane MSM partials: (16, lanes) → (16, lanes/
+    (tile/128)) per-block 128-wide partial sums, order-preserving."""
+    return _chunked_pallas(_msm_bitplane_kernel, [k, *p], [NLIMB] * 5,
+                           [NLIMB] * 4, tile_cap=tile, out_width=128)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -768,25 +714,38 @@ def msm_flat(p, k):
     p = _pt_flat(p)
     n = p[0].shape[-1]
     k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
-    tile = _tile_for(n)
-    pp = tuple(_pad_identity(c, i, tile) for i, c in enumerate(p))
-    kk = _pad_lanes(k, tile)  # zero scalars on the pad
-    out = _msm_call(kk, pp, tile)
+    m, _, tile = _plan(n)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    kk = _pad_lanes_to(k, m)  # zero scalars on the pad
+    out = _msm_partials(kk, pp, tile)
     return tree_sum(out)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def msm_groups(p, k, group: int):
     """Per-group MSMs over contiguous groups of `group` lanes:
-    (16, G·group) → (16, G). Requires group pow2 and a multiple of the
-    block tile so no block straddles groups."""
+    (16, G·group) → (16, G).
+
+    group >= TILE: canonical-chunk bit-plane partials (blocks never
+    straddle groups) + per-group halving reduction. Smaller groups fall
+    back to the per-lane ladder + group reduction — both paths reuse only
+    canonical kernel shapes."""
     p = _pt_flat(p)
     n = p[0].shape[-1]
     k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
-    tile = min(TILE, group)
-    assert group & (group - 1) == 0 and group % tile == 0 and n % group == 0
-    out = _msm_call(k, p, tile)
-    return tree_sum_groups(out, (group // tile) * 128)
+    assert group & (group - 1) == 0 and n % group == 0
+    G = n // group
+    if group >= TILE:
+        m, _, tile = _plan(n)
+        pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+        kk = _pad_lanes_to(k, m)
+        out = _msm_partials(kk, pp, tile)
+        # real partials: first n/tile blocks x 128 lanes, group-contiguous
+        w = (group // tile) * 128
+        out = tuple(c[:, : G * w] for c in out)
+        return _halving_groups(point_add, out, G, w, 4)
+    prods = scalar_mul(p, k)
+    return _halving_groups(point_add, prods, G, group, 4)
 
 
 # -- shared-scalar multiplication (IPA G/H folds) ------------------------------
@@ -824,21 +783,28 @@ def shared_scalar_mul(p, k):
     p = _pt_flat(p)
     n = p[0].shape[-1]
     kk = jnp.broadcast_to(k.reshape(NLIMB, -1)[:, :1], (NLIMB, 128))
-    tile = _scalar_mul_tile(n)
-    pp = tuple(_pad_lanes(c, tile) for c in p)
-    m = pp[0].shape[-1]
-    spec = _block_specs(m // tile, tile)
+    m, chunk, tile = _plan(n, tile_cap=512)
+    pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
+    nb = chunk // tile
     kspec = pl.BlockSpec((NLIMB, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    spec = pl.BlockSpec((NLIMB, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
         _shared_mul_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32)
+        out_shape=tuple(jax.ShapeDtypeStruct((NLIMB, chunk), jnp.uint32)
                         for _ in range(4)),
-        grid=(m // tile,),
+        grid=(nb,),
         in_specs=[kspec] + [spec] * 4,
         out_specs=tuple([spec] * 4),
         interpret=_interpret(),
-    )(kk, *pp)
+    )
+    outs = [call(kk, *[c[:, c0:c0 + chunk] for c in pp])
+            for c0 in range(0, m, chunk)]
+    out = tuple(
+        jnp.concatenate([o[i] for o in outs], axis=-1)
+        if len(outs) > 1 else outs[0][i] for i in range(4)
+    )
     return tuple(c[:, :n].reshape(shapes) for c in out)
 
 
@@ -861,6 +827,10 @@ def _s_carry(limbs):
         c = v >> 16
     out.append(c & MASK)
     out.append(c >> 16)
+    out.append(c & MASK)
+    out.append(c >> 16)
+    if _interpret():  # XLA:CPU fusion barrier (see f_norm)
+        out = list(jax.lax.optimization_barrier(tuple(out)))
     return out
 
 
@@ -1031,19 +1001,12 @@ def sc_mul(a, b):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
-    tile = _tile_for(a.shape[-1])
-    aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
-    m = aa.shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _sc_mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
-        grid=(m // tile,),
-        in_specs=[spec] * 2,
-        out_specs=spec,
-        interpret=_interpret(),
-    )(aa, bb)
-    return out[:, : a.shape[-1]].reshape(shape)
+    n = a.shape[-1]
+    m, _, tile = _plan(n)
+    out = _chunked_pallas(_sc_mul_kernel,
+                          [_pad_lanes_to(a, m), _pad_lanes_to(b, m)],
+                          [NLIMB] * 2, [NLIMB], tile_cap=tile)
+    return out[:, :n].reshape(shape)
 
 
 def _sc_reduce_wide_kernel(b_ref, o_ref):
@@ -1060,20 +1023,10 @@ def _sc_reduce_wide_kernel(b_ref, o_ref):
 def sc_reduce_wide(byte_cols):
     """(64, N) uint32 byte columns → (16, N) canonical scalars."""
     n = byte_cols.shape[-1]
-    tile = _tile_for(n)
-    bb = _pad_lanes(byte_cols, tile)
-    m = bb.shape[-1]
-    in_spec = pl.BlockSpec((64, tile), lambda i: (0, i),
-                           memory_space=pltpu.VMEM)
-    out_spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _sc_reduce_wide_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
-        grid=(m // tile,),
-        in_specs=[in_spec],
-        out_specs=out_spec,
-        interpret=_interpret(),
-    )(bb)
+    m, _, tile = _plan(n)
+    out = _chunked_pallas(_sc_reduce_wide_kernel,
+                          [_pad_lanes_to(byte_cols, m)],
+                          [64], [NLIMB], tile_cap=tile)
     return out[:, :n]
 
 
@@ -1088,31 +1041,12 @@ def sc_sub(a, b):
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
     n = a.shape[-1]
-    tile = _tile_for(n)
-    aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
-    m = aa.shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _sc_sub_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
-        grid=(m // tile,),
-        in_specs=[spec] * 2,
-        out_specs=spec,
-        interpret=_interpret(),
-    )(aa, bb)
+    m, _, tile = _plan(n)
+    out = _chunked_pallas(_sc_sub_kernel,
+                          [_pad_lanes_to(a, m), _pad_lanes_to(b, m)],
+                          [NLIMB] * 2, [NLIMB], tile_cap=tile)
     return out[:, :n].reshape(shape)
 
-
-def _sc_sum_kernel(a_ref, o_ref):
-    T = a_ref.shape[-1]
-
-    def body1(j, acc):
-        return list(s_add(acc, _unstack(a_ref[:, pl.ds(j * 128, 128)])))
-
-    acc = jax.lax.fori_loop(
-        1, T // 128, body1, list(_unstack(a_ref[:, pl.ds(0, 128)]))
-    )
-    o_ref[:, :] = _stack(acc)
 
 
 def _sc_add_kernel(a_ref, b_ref, o_ref):
@@ -1126,44 +1060,22 @@ def sc_add(a, b):
     a = jnp.broadcast_to(a, shape).reshape(NLIMB, -1)
     b = jnp.broadcast_to(b, shape).reshape(NLIMB, -1)
     n = a.shape[-1]
-    tile = _tile_for(n)
-    aa, bb = _pad_lanes(a, tile), _pad_lanes(b, tile)
-    m = aa.shape[-1]
-    spec = _block_specs(m // tile, tile)
-    out = pl.pallas_call(
-        _sc_add_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMB, m), jnp.uint32),
-        grid=(m // tile,),
-        in_specs=[spec] * 2,
-        out_specs=spec,
-        interpret=_interpret(),
-    )(aa, bb)
+    m, _, tile = _plan(n)
+    out = _chunked_pallas(_sc_add_kernel,
+                          [_pad_lanes_to(a, m), _pad_lanes_to(b, m)],
+                          [NLIMB] * 2, [NLIMB], tile_cap=tile)
     return out[:, :n].reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnums=())
 def sc_sum(a):
-    """Σ mod l over the lane axis of (16, N) canonical scalars → (16, 1)."""
+    """Σ mod l over the lane axis of (16, N) canonical scalars → (16, 1):
+    halving sc_adds at canonical shapes (0 is the additive identity)."""
     a = a.reshape(NLIMB, -1)
-    while a.shape[-1] > 128:
-        n = a.shape[-1]
-        tile = min(2048, -(-n // 128) * 128)
-        aa = _pad_lanes(a, tile)  # zero-pad (0 is the additive identity)
-        m = aa.shape[-1]
-        in_spec = _block_specs(m // tile, tile)
-        out_spec = pl.BlockSpec((NLIMB, 128), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-        a = pl.pallas_call(
-            _sc_sum_kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (NLIMB, (m // tile) * 128), jnp.uint32),
-            grid=(m // tile,),
-            in_specs=[in_spec],
-            out_specs=out_spec,
-            interpret=_interpret(),
-        )(aa)
-    a = _pad_lanes(a, 128)
-    w = 64
+    n = a.shape[-1]
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    a = _pad_lanes_to(a, m)
+    w = m // 2
     while w >= 1:
         a = sc_add(a[:, :w], a[:, w:2 * w])
         w //= 2

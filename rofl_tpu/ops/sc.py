@@ -22,6 +22,48 @@ import numpy as np
 from .dispatch import use_pallas
 from ..spec import scalar as SS
 
+_BUCKET_FLOOR = int(__import__("os").environ.get("ROFL_JNP_BUCKET", "256"))
+
+
+def _bucketable(*arrays) -> int | None:
+    """Lane bucketing for the eager jnp paths — see ops/curve.py. Zeros are
+    a safe pad for every mod-l op here."""
+    if _BUCKET_FLOOR <= 0:
+        return None
+    n = None
+    for a in arrays:
+        if isinstance(a, jax.core.Tracer) or a.ndim != 2:
+            return None
+        ln = a.shape[-1]
+        if ln != 1:
+            if n is not None and ln != n:
+                return None
+            n = ln
+    if n is None:
+        return None
+    p2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    m = max(_BUCKET_FLOOR, p2)
+    return None if m == n else n
+
+
+def _bucket_of(n: int) -> int:
+    p2 = 1 << (n - 1).bit_length() if n > 1 else 1
+    return max(_BUCKET_FLOOR, p2)
+
+
+def _padz(a: jnp.ndarray, m: int) -> jnp.ndarray:
+    return jnp.pad(a, ((0, 0), (0, m - a.shape[-1])))
+
+
+def _bucketed2(fn, a, b):
+    n = _bucketable(a, b)
+    if n is None:
+        return fn(a, b)
+    m = _bucket_of(n)
+    ab = _padz(a, m) if a.shape[-1] == n else a
+    bb = _padz(b, m) if b.shape[-1] == n else b
+    return fn(ab, bb)[:, :n]
+
 NLIMB = 16
 MASK16 = jnp.uint32(0xFFFF)
 L_INT = SS.L
@@ -213,7 +255,7 @@ def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from . import kernels
 
         return kernels.sc_add(a, b)
-    return _add_jnp(a, b)
+    return _bucketed2(_add_jnp, a, b)
 
 
 @jax.jit
@@ -239,7 +281,7 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from . import kernels
 
         return kernels.sc_sub(a, b)
-    return _sub_jnp(a, b)
+    return _bucketed2(_sub_jnp, a, b)
 
 
 @jax.jit
@@ -262,7 +304,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from . import kernels
 
         return kernels.sc_mul(a, b)
-    return _mul_jnp(a, b)
+    return _bucketed2(_mul_jnp, a, b)
 
 
 @jax.jit

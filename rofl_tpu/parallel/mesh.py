@@ -90,7 +90,21 @@ def sharded_msm(mesh: Mesh, points: PointArray, scalars: jnp.ndarray
                 ) -> PointArray:
     """Σ k_i·P_i with the i axis sharded over 'param': local MSM per
     device, all_gather of the single-point partials, local tree-add.
-    Result is replicated (16, 1) coords."""
+    Result is replicated (16, 1) coords. Lanes are padded to a multiple of
+    the 'param' axis with identity points / zero scalars (inert terms)."""
+    n = points.x.shape[-1]
+    n_param = mesh.shape["param"]
+    if n % n_param:
+        m = -(-n // n_param) * n_param
+        zero = jnp.zeros((16, m - n), jnp.uint32)
+        one = zero.at[0].set(1)
+        points = PointArray(
+            jnp.concatenate([points.x, zero], axis=1),
+            jnp.concatenate([points.y, one], axis=1),
+            jnp.concatenate([points.z, one], axis=1),
+            jnp.concatenate([points.t, zero], axis=1),
+        )
+        scalars = jnp.pad(scalars, ((0, 0), (0, m - n)))
 
     @partial(
         shard_map, mesh=mesh,
@@ -158,7 +172,7 @@ def sharded_bsgs(mesh: Mesh, points: PointArray, table_m: int, n_bits: int):
     @partial(
         shard_map, mesh=mesh,
         in_specs=((PSpec(None, "param"),) * 4,),
-        out_specs=(PSpec(None, "param"), PSpec(None, "param")),
+        out_specs=(PSpec(None, "param"), PSpec("param")),
         check_rep=False,
     )
     def _run(pts):

@@ -251,3 +251,34 @@ def test_scalar_field():
     b = S.to_bytes(S.L - 1)
     assert S.from_canonical_bytes(b) == S.L - 1
     assert S.from_canonical_bytes(S.L.to_bytes(32, "little")) is None
+
+
+def test_shifted_fixed_values_vectorized_matches_bigint():
+    """range_proof_vec.shifted_fixed_values (vectorized uint64) must match
+    the reference formula: low n_bits of (f32_to_scalar(x) + 2^(range-1))
+    mod l (range_proof_vec/mod.rs:36-43) — incl. the wrap when the shifted
+    negative crosses l (|x|·2^frac <= offset)."""
+    import numpy as np
+
+    from rofl_tpu.crypto import range_proof_vec as RPV
+    from rofl_tpu.crypto.fp_codec import FpConfig
+    from rofl_tpu.spec import scalar as SS
+
+    fp = FpConfig(16, 7)
+    rng = np.random.default_rng(3)
+    for prove_range in (8, 16):
+        lo, hi = fp.clip_bounds(prove_range)
+        vals = np.concatenate([
+            rng.uniform(lo, hi, 64).astype(np.float32),
+            np.array([0.0, -0.0, lo, hi, -1 / 128, 1 / 128,
+                      -0.5, 0.5], np.float32),
+        ])
+        got = RPV.shifted_fixed_values(vals, fp, prove_range)
+        offset = 1 << (prove_range - 1)
+        want = []
+        for s in fp.f32_to_scalars(vals):
+            shifted = (s + offset) % SS.L
+            want.append(int.from_bytes(
+                SS.to_bytes(shifted)[: (fp.n_bits + 7) // 8], "little")
+                & fp.max_bits)
+        assert [int(x) for x in got] == want
