@@ -88,7 +88,10 @@ def create_rangeproof_l2(
         limbs = np.asarray(blindings)
         if limbs.shape[1] != len(values_clipped):
             raise ValueError("wrong number of blinding factors")
-        total = sc.sum_reduce_groups(jnp.asarray(limbs), limbs.shape[1])
+        # sum_reduce (not sum_reduce_groups with group=d): the grouped
+        # Pallas kernel requires pow2 groups, but model dimension d is
+        # arbitrary; sc_sum zero-pads any lane count.
+        total = sc.sum_reduce(jnp.asarray(limbs))
         blinding_sum = sc.unpack_scalars(np.asarray(total))[0]
     if RP and _is_out_of_range(values_clipped, fp, prove_range):
         raise ValueError("value out of range")

@@ -827,8 +827,6 @@ def _s_carry(limbs):
         c = v >> 16
     out.append(c & MASK)
     out.append(c >> 16)
-    out.append(c & MASK)
-    out.append(c >> 16)
     if _interpret():  # XLA:CPU fusion barrier (see f_norm)
         out = list(jax.lax.optimization_barrier(tuple(out)))
     return out

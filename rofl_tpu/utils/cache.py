@@ -1,18 +1,19 @@
 """Compilation-cache policy — one place, applied by every entry point.
 
-Two empirically-established facts drive this (round-3 measurements):
+Round-4 measurements (2-core box, jax 0.9 / XLA:CPU thunk runtime):
 
-  * XLA:CPU persistent-cache entries NEVER reload: the AOT result records
-    compile-time tuning pseudo-features (``+prefer-no-scatter``,
-    ``+prefer-no-gather``) that host feature detection can't report, so
-    ``cpu_aot_loader`` rejects every entry — even on the machine that
-    wrote it.  A populated CPU cache is therefore pure overhead (failed
-    load + error spam per executable) and was a root cause of the round-2
-    MULTICHIP timeout.  → the persistent cache is DISABLED on CPU.
-  * TPU (axon) entries DO reload across processes (measured: point_add
-    Mosaic kernel 45.6 s cold → 3.7 s warm), so the cache is kept for
-    TPU runs, keyed by platform + TPU generation so entries from
-    different backends never collide in one directory.
+  * TPU (axon) entries reload across processes (measured round 3:
+    point_add Mosaic kernel 45.6 s cold → 3.7 s warm) — cache kept,
+    keyed by platform + TPU generation.
+  * XLA:CPU AOT entries NOW RELOAD TOO.  ``cpu_aot_loader`` logs an
+    error-level complaint about the compile-time tuning pseudo-features
+    ``+prefer-no-scatter``/``+prefer-no-gather`` not being host
+    features, but proceeds with the load (measured: ``curve.compress``
+    26.6 s cold → 5.4 s warm incl. trace time).  Round 3 disabled the
+    CPU cache based on the then-observed failed loads; with loads
+    succeeding, a pre-warmed cache is the difference between the
+    multichip dryrun finishing in minutes vs tens of minutes on a small
+    host.  → the persistent cache is ENABLED on every platform.
 
 The reference has no analogue (cargo builds are AOT by construction);
 this is the TPU-native equivalent of shipping prebuilt kernels.
@@ -28,7 +29,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
 
 def cache_dir_for(platform: str) -> str:
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
-    tag = f"{platform}-{gen}" if gen else platform
+    tag = f"{platform}-{gen}" if gen and platform != "cpu" else platform
     return os.path.join(_REPO_ROOT, ".jax_cache", tag)
 
 
@@ -36,8 +37,6 @@ def setup_cache() -> None:
     """Configure the persistent compilation cache for the current backend.
 
     Call AFTER the backend choice is final (jax imported, platform set).
-    CPU: cache disabled (see module docstring). Other platforms: cache
-    under .jax_cache/<platform>[-<gen>]/.
     """
     import jax
 
@@ -45,12 +44,6 @@ def setup_cache() -> None:
         platform = jax.default_backend()
     except Exception:
         platform = "unknown"
-    if platform == "cpu":
-        try:
-            jax.config.update("jax_enable_compilation_cache", False)
-        except Exception:
-            pass
-        return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir_for(platform))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -21,8 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# No persistent cache on CPU: XLA:CPU AOT entries never reload (see
-# rofl_tpu/utils/cache.py) — a populated cache is pure failed-load overhead.
+# Persistent cache: XLA:CPU AOT entries reload across processes (see
+# rofl_tpu/utils/cache.py) — repeated suite runs skip recompiles.
 from rofl_tpu.utils.cache import setup_cache  # noqa: E402
 
 setup_cache()

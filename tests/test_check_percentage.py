@@ -21,18 +21,20 @@ pytestmark = pytest.mark.slow
 FP = FpConfig(16, 7)
 
 
-def _encrypt_verify(enc_type, d, pct, seed=7, tamper=False):
+def _encrypt_verify(enc_type, d, pct, seed=7, oor_index=None):
+    """Encrypt→serialize→deserialize→verify; optionally plant an
+    out-of-range value at `oor_index` (a cheating prover: the ElGamal
+    commitment holds the raw value while the range proof covers the
+    clipped one, so verification fails iff that index is range-checked)."""
     rng = np.random.default_rng(seed)
     cfg = P.CryptoConfig(value_range=8, n_partition=1, l2_value_range=16,
                          check_percentage=pct, enc_type=enc_type, fp=FP)
     lo, hi = FP.clip_bounds(8)
     vals = rng.uniform(lo, hi, d).astype(np.float32) * 0.5
+    if oor_index is not None:
+        vals[oor_index] = hi * 4
     blind = jnp.asarray(pedersen.rnd_scalar_limbs(d, rng))
     enc = P.encrypt(enc_type, vals, blind, cfg, rng)
-    if tamper:
-        # out-of-range value OUTSIDE the checked prefix must still verify
-        # (that is the probabilistic-checking trade-off, params.rs:186-195)
-        pass
     data = enc.serialize()
     back = P.deserialize(enc_type, data, FP)
     assert back.check_percentage == pytest.approx(pct)
@@ -48,14 +50,17 @@ def test_partial_checking_roundtrip_non_pow2(enc_type, pct):
     assert _encrypt_verify(enc_type, 10, pct)
 
 
-def test_subset_sizes_agree():
-    """Prover and verifier must derive the same subset size for awkward
-    N·pct values (int(round(...)) ties)."""
-    for d in (10, 12, 50, 19):
-        for pct in (0.25, 1 / 3, 0.5, 0.66, 0.75):
-            n_prove = int(round(d * pct))
-            n_verify = int(round(d * pct))
-            assert n_prove == n_verify
+def test_subset_boundary_agrees():
+    """The prover's proved prefix and the verifier's checked prefix must
+    cover exactly the same indices (params.rs:478-497 vs 186-205): a
+    cheating value at the LAST checked index must be caught, while the
+    same value at the FIRST unchecked index must pass — both through the
+    real encrypt→serialize→verify paths. An off-by-one between
+    int(round(d·pct)) on either side flips one of these."""
+    d, pct = 10, 0.7  # checked prefix = indices 0..6
+    num = int(round(d * pct))
+    assert not _encrypt_verify(P.ENC_RANGE_TYPE, d, pct, oor_index=num - 1)
+    assert _encrypt_verify(P.ENC_RANGE_TYPE, d, pct, oor_index=num)
 
 
 def test_unchecked_out_of_range_value_passes():

@@ -27,13 +27,21 @@ rng = np.random.default_rng(99)
 
 @pytest.fixture(autouse=True, scope="module")
 def _interp_mode():
+    # interpret=_interpret() is baked in at trace time and jax.jit caches
+    # are not keyed on the env var — clear the caches on both sides so a
+    # wrapper traced earlier at the same shapes can't leak a stale
+    # non-interp executable in (or out of) this module (ADVICE r3).
+    import jax
+
     old = os.environ.get("ROFL_PALLAS")
     os.environ["ROFL_PALLAS"] = "interp"
+    jax.clear_caches()
     yield
     if old is None:
         os.environ.pop("ROFL_PALLAS", None)
     else:
         os.environ["ROFL_PALLAS"] = old
+    jax.clear_caches()
 
 
 def rand_scalars(n):
