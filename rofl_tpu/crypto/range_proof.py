@@ -349,12 +349,32 @@ def _pconcat3(a: PointArray, b: PointArray) -> PointArray:
     ])
 
 
+def _msm_grouped(points, scalars, group, mesh=None):
+    """Per-chunk MSM — mesh-routed over 'param' when a mesh is given
+    (prove-path sharding, VERDICT r3 item 4: chunks distribute across
+    devices with no collectives, like the reference's rayon chunk pool)."""
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        return pmesh.sharded_msm_grouped(mesh, points, scalars, group)
+    return msm.msm_grouped(points, scalars, group)
+
+
+def _tree_sum_groups(p, group, mesh=None):
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        return pmesh.sharded_tree_sum_groups(mesh, p, group)
+    return curve.tree_sum_groups(p, group)
+
+
 def prove_multiple_batch(
     transcripts: list[Transcript],
     values_chunks: np.ndarray,
     blind_limbs,
     n: int,
     rng: np.random.Generator,
+    mesh=None,
 ) -> tuple[list[RangeProof], list[list[bytes]], PointArray]:
     """All n_partition chunks proved in ONE device flow.
 
@@ -410,7 +430,7 @@ def prove_multiple_batch(
     a_blind = pedersen.rnd_scalar_limbs(G_n, rng)
     terms = curve.select(bits == 1, gens_G_t, curve.neg(gens_H_t))
     A_pt = curve.add(pedersen.base_H().mul(jnp.asarray(a_blind)),
-                     curve.tree_sum_groups(terms, nm))
+                     _tree_sum_groups(terms, nm, mesh))
 
     # S_g = H^s_blind_g + <s_L, G> + <s_R, H> (per group)
     s_blind = pedersen.rnd_scalar_limbs(G_n, rng)
@@ -422,7 +442,7 @@ def prove_multiple_batch(
     s_cat = jnp.concatenate([s_L, s_R], axis=2).reshape(16, 2 * L)
     S_pt = curve.add(
         pedersen.base_H().mul(jnp.asarray(s_blind)),
-        msm.msm_grouped(bases_GH, s_cat, 2 * nm))
+        _msm_grouped(bases_GH, s_cat, 2 * nm, mesh))
 
     AS_bytes = _compress_bytes(PointArray(*[
         jnp.concatenate([a, s], axis=1) for a, s in zip(A_pt, S_pt)
@@ -503,7 +523,7 @@ def prove_multiple_batch(
     y_invs = [pow(y, SS.L - 2, SS.L) for y in ys]
     _tick("batch T/x/lr")
     ipps = _ipp_create_batch(transcripts, ws, gens_G_t, gens_H_t,
-                             a_vec, b_vec, nm, y_invs)
+                             a_vec, b_vec, nm, y_invs, mesh)
     _tick("batch ipp total")
 
     proofs = []
@@ -524,6 +544,7 @@ def _ipp_create_batch(
     b: jnp.ndarray,
     n: int,
     y_invs: list[int],
+    mesh=None,
 ) -> list[InnerProductProof]:
     """Chunk-batched InnerProductProof::create (factored folds as in
     _ipp_create, with per-chunk pending scalars and the w_g·Q term folded
@@ -566,7 +587,7 @@ def _ipp_create_batch(
         L_scal = jnp.concatenate(
             [sc.mul(a_L, gp_rep), sc.mul(b_R, ypend)], axis=2
         ).reshape(16, -1)
-        L_sum = msm.msm_grouped(_pflat(LR_bases), L_scal, s)
+        L_sum = _msm_grouped(_pflat(LR_bases), L_scal, s, mesh)
         wq_L = sc.mul(c_L, _consts(ws))
         L_pt = curve.add(L_sum, base_B.mul(wq_L))
 
@@ -575,7 +596,7 @@ def _ipp_create_batch(
             [sc.mul(a_R, gp_rep),
              sc.mul(b_L, sc.mul(ypend, _consts(yRs)[:, :, None]))], axis=2
         ).reshape(16, -1)
-        R_sum = msm.msm_grouped(_pflat(RL_bases), R_scal, s)
+        R_sum = _msm_grouped(_pflat(RL_bases), R_scal, s, mesh)
         wq_R = sc.mul(c_R, _consts(ws))
         R_pt = curve.add(R_sum, base_B.mul(wq_R))
 

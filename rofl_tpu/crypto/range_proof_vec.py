@@ -76,12 +76,15 @@ def create_rangeproof(
     prove_range: int,
     n_partition: int,
     rng: np.random.Generator,
+    mesh=None,
 ) -> tuple[list[RP.RangeProof], curve.PointArray]:
     """create_rangeproof (mod.rs:16-102) → (proofs, unshifted commitments).
 
     blindings: (16, d) uint32 scalar limbs (device layout) or list[int].
     Commitments are returned as a device PointArray; the −offset un-shift
     (mod.rs:95-101) is one batched device add, not a host point loop.
+    With a mesh, the chunk-batched prover's A/S and IPA L/R MSMs shard
+    whole chunks over the 'param' axis (proofs are byte-identical).
     """
     import jax.numpy as jnp
 
@@ -114,7 +117,7 @@ def create_rangeproof(
         transcripts = [Transcript(b"RangeProof") for _ in range(n_chunks)]
         proofs, _v_chunks, V = RP.prove_multiple_batch(
             transcripts, shifted_ext.reshape(n_chunks, chunk), blind_ext,
-            prove_range, rng)
+            prove_range, rng, mesh=mesh)
     else:
         V = None
         blind_ints = sc.unpack_scalars(blind_ext)

@@ -37,9 +37,28 @@ def _limbs_to_keys(limbs: jnp.ndarray) -> jnp.ndarray:
 def build_table(m: int):
     """(sorted_keys (m+1, 8) np.uint32, values (m+1,) np.uint32, mG point).
 
-    Built on device: k*G for k in 0..m via the doubling construction
-    (log2 batched adds), then one batched compress.
+    Built on device: k*G for k in 0..m via one fixed-base multiply, then
+    one batched compress.  The sorted table is memoized on DISK next to
+    the XLA compile cache: it is a pure function of m (the reference
+    rebuilds it at server start, bsgs32.rs:36-38 — ~57 s of device work
+    per process on a small CPU host, so caching it is the same trade as
+    caching compiled executables).
     """
+    mG = SR.BASEPOINT.scalar_mul(m)
+    cache_path = None
+    try:
+        from ..utils.cache import cache_dir_for
+        import os
+
+        cdir = cache_dir_for("tables")
+        os.makedirs(cdir, exist_ok=True)
+        cache_path = os.path.join(cdir, f"bsgs_{m}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            return z["keys"], z["values"], mG
+    except Exception:
+        cache_path = None
+
     # k·G for k in 0..m via one fixed-base multiply over a static pow2
     # batch (compile-friendly: reuses the commitment kernel's shapes).
     from ..crypto import pedersen
@@ -49,7 +68,7 @@ def build_table(m: int):
     k_limbs[0] = ks & 0xFFFF
     k_limbs[1] = (ks >> 16) & 0xFFFF
     tab = pedersen.base_B().mul(jnp.asarray(k_limbs))
-    last = curve.pack_points([SR.BASEPOINT.scalar_mul(m)])
+    last = curve.pack_points([mG])
     tab = PointArray(
         jnp.concatenate([tab.x, last.x], axis=1),
         jnp.concatenate([tab.y, last.y], axis=1),
@@ -62,7 +81,11 @@ def build_table(m: int):
     order = np.lexsort(keys[::-1])  # sort by key tuple, keys[0] most-significant
     keys_sorted = keys[:, order].T.copy()  # (m+1, 8)
     values_sorted = values[order]
-    mG = SR.BASEPOINT.scalar_mul(m)
+    if cache_path:
+        try:
+            np.savez(cache_path, keys=keys_sorted, values=values_sorted)
+        except Exception:
+            pass
     return keys_sorted, values_sorted, mG
 
 
@@ -84,36 +107,35 @@ def _binary_search(table_keys: jnp.ndarray, query: jnp.ndarray):
     hi = jnp.full(query.shape[1:], M, dtype=jnp.int32)  # exclusive
     for _ in range(n_steps):
         mid = (lo + hi) // 2
-        mid_keys = jnp.take(table_keys, mid, axis=0).T  # (8, N)
+        mid_keys = jnp.take(table_keys, mid, axis=0, mode="clip").T  # (8, N)
         go_right = _lex_less(mid_keys, query)
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
+        # fusion barrier: without it XLA:CPU fuses all log2(M) dependent
+        # gather steps into one fusion whose emitter re-computes the whole
+        # predecessor chain per element — exponential in steps (measured
+        # 5 s for a 17-step search whose ops are each <0.1 ms)
+        lo, hi = jax.lax.optimization_barrier((lo, hi))
     idx = jnp.clip(lo, 0, M - 1)
     found_keys = jnp.take(table_keys, idx, axis=0).T
     hit = jnp.all(found_keys == query, axis=0)
     return idx, hit
 
 
-def solve_discrete_log(
+def solve_with_table(
+    table_keys: jnp.ndarray,
+    table_vals: jnp.ndarray,
+    neg_mG: PointArray,
     points: PointArray,
     m: int,
-    n_bits: int,
-    max_it: int | None = None,
+    max_it: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched solve_discrete_log_with_neg (bsgs32.rs:48-73).
+    """The BSGS walk with the table as an OPERAND (not a baked constant).
 
-    Returns (values (16, N) scalar limbs mod l, ok (N,) bool). Values are
-    i*m + pow for the positive walk, l - (i*m + pow) for the negative
-    fallback, exactly like the reference's Scalar conversion.
-    """
-    keys_np, vals_np, mG_spec = build_table(m)
-    table_keys = jnp.asarray(keys_np)
-    table_vals = jnp.asarray(vals_np)
-    if max_it is None:
-        max_it = max(1, (1 << n_bits) // m)
-
-    neg_mG = curve.pack_points([-mG_spec])
-    neg_mG = PointArray(neg_mG.x, neg_mG.y, neg_mG.z, neg_mG.t)
+    Keeping the (m+1, 8) table out of the traced graph matters twice: the
+    jit cache hits across calls (a baked 2 MB constant re-traces and
+    re-hashes every time — measured 215 s/call on the virtual-CPU mesh),
+    and shard_map callers can mark it replicated explicitly."""
 
     def walk(start: PointArray):
         n = start.batch_shape
@@ -129,6 +151,10 @@ def solve_discrete_log(
             found = found | hit
             if i + 1 < max_it:
                 cur = curve.add(cur, neg_mG)
+                # same XLA:CPU anti-fusion guard as _binary_search
+                value, found, cx, cy, cz, ct = jax.lax.optimization_barrier(
+                    (value, found, cur.x, cur.y, cur.z, cur.t))
+                cur = PointArray(cx, cy, cz, ct)
         return value, found
 
     pos_val, pos_found = walk(points)
@@ -146,3 +172,42 @@ def solve_discrete_log(
     out = jnp.where(use_pos[None], pos_limbs, neg_scalar)
     ok = pos_found | neg_found
     return out, ok
+
+
+@lru_cache(maxsize=8)
+def _solve_jit(m: int, max_it: int):
+    from functools import partial as _partial
+
+    def run(table_keys, table_vals, neg_coords, pt_coords):
+        return solve_with_table(
+            table_keys, table_vals, PointArray(*neg_coords),
+            PointArray(*pt_coords), m, max_it)
+
+    return jax.jit(run)
+
+
+def neg_mG_coords(m: int):
+    """-mG as a (16, 1)-coord tuple (host spec math; tiny)."""
+    mG = SR.BASEPOINT.scalar_mul(m)
+    p = curve.pack_points([-mG])
+    return (p.x, p.y, p.z, p.t)
+
+
+def solve_discrete_log(
+    points: PointArray,
+    m: int,
+    n_bits: int,
+    max_it: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched solve_discrete_log_with_neg (bsgs32.rs:48-73).
+
+    Returns (values (16, N) scalar limbs mod l, ok (N,) bool). Values are
+    i*m + pow for the positive walk, l - (i*m + pow) for the negative
+    fallback, exactly like the reference's Scalar conversion.
+    """
+    keys_np, vals_np, _mG_spec = build_table(m)
+    if max_it is None:
+        max_it = max(1, (1 << n_bits) // m)
+    return _solve_jit(m, max_it)(
+        jnp.asarray(keys_np), jnp.asarray(vals_np),
+        neg_mG_coords(m), tuple(points))

@@ -22,7 +22,7 @@ collectives on ICI.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -106,6 +106,14 @@ def sharded_msm(mesh: Mesh, points: PointArray, scalars: jnp.ndarray
         )
         scalars = jnp.pad(scalars, ((0, 0), (0, m - n)))
 
+    return PointArray(*_sharded_msm_fn(mesh)(tuple(points), scalars))
+
+
+@lru_cache(maxsize=16)
+def _sharded_msm_fn(mesh: Mesh):
+    # jit around shard_map is REQUIRED: un-jitted shard_map evaluates
+    # eagerly, one tiny per-device executable per primitive (measured
+    # ~5000 compiles / >100 s per call on the virtual mesh)
     @partial(
         shard_map, mesh=mesh,
         in_specs=(
@@ -119,13 +127,84 @@ def sharded_msm(mesh: Mesh, points: PointArray, scalars: jnp.ndarray
         part = msm_mod.msm(PointArray(*pts), scal)
         return tuple(_gather_tree_add(part, "param"))
 
-    return PointArray(*_run(tuple(points), scalars))
+    return jax.jit(_run)
+
+
+def sharded_msm_grouped(mesh: Mesh, points: PointArray,
+                        scalars: jnp.ndarray, group: int) -> PointArray:
+    """Per-group MSMs with the GROUP axis sharded over 'param':
+    (16, G·group) → (16, G).  This is the PROVE-path primitive (VERDICT r3
+    item 6): the chunk-batched Bulletproofs prover's A/S and IPA L/R MSMs
+    are per-chunk reductions, so distributing whole chunks across devices
+    needs no collective at all — the reference's rayon-chunk parallelism
+    (range_proof_vec/mod.rs:53-78) mapped onto the mesh.  Falls back to
+    the local kernel when G doesn't divide over the axis."""
+    L = scalars.shape[-1]
+    G = L // group
+    n_param = mesh.shape["param"]
+    if G % n_param or G == 0:
+        return msm_mod.msm_grouped(points, scalars, group)
+
+    out = PointArray(*_sharded_msm_grouped_fn(mesh, group)(
+        tuple(points), scalars))
+    # gather the small (16, G) result so the host transcript step that
+    # follows (compress + Merlin absorb) reads one device's copy
+    return PointArray(*[jax.device_put(c, NamedSharding(mesh, PSpec()))
+                        for c in out])
+
+
+def sharded_tree_sum_groups(mesh: Mesh, p: PointArray,
+                            group: int) -> PointArray:
+    """Per-group point sums with the group axis sharded over 'param'
+    ((16, G·group) → (16, G)) — the prover's A-term reduction."""
+    L = p.x.shape[-1]
+    G = L // group
+    n_param = mesh.shape["param"]
+    if G % n_param or G == 0:
+        return curve.tree_sum_groups(p, group)
+
+    out = PointArray(*_sharded_tsg_fn(mesh, group)(tuple(p)))
+    return PointArray(*[jax.device_put(c, NamedSharding(mesh, PSpec()))
+                        for c in out])
+
+
+@lru_cache(maxsize=32)
+def _sharded_msm_grouped_fn(mesh: Mesh, group: int):
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=((PSpec(None, "param"),) * 4, PSpec(None, "param")),
+        out_specs=(PSpec(None, "param"),) * 4,
+        check_rep=False,
+    )
+    def _run(pts, scal):
+        return tuple(msm_mod.msm_grouped(PointArray(*pts), scal, group))
+
+    return jax.jit(_run)
+
+
+@lru_cache(maxsize=32)
+def _sharded_tsg_fn(mesh: Mesh, group: int):
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=((PSpec(None, "param"),) * 4,),
+        out_specs=(PSpec(None, "param"),) * 4,
+        check_rep=False,
+    )
+    def _run(pts):
+        return tuple(curve.tree_sum_groups(PointArray(*pts), group))
+
+    return jax.jit(_run)
 
 
 def sharded_commit(mesh: Mesh, table: PointArray, scalars: jnp.ndarray
                    ) -> PointArray:
     """Fixed-base commit lanes sharded over 'param' (table replicated);
     pure elementwise — no collectives."""
+    return PointArray(*_sharded_commit_fn(mesh)(tuple(table), scalars))
+
+
+@lru_cache(maxsize=16)
+def _sharded_commit_fn(mesh: Mesh):
     from ..ops import fixed_base
 
     @partial(
@@ -137,12 +216,19 @@ def sharded_commit(mesh: Mesh, table: PointArray, scalars: jnp.ndarray
     def _run(tab, scal):
         return tuple(fixed_base.mul(PointArray(*tab), scal))
 
-    return PointArray(*_run(tuple(table), scalars))
+    return jax.jit(_run)
 
 
 def sharded_pair_add(mesh: Mesh, a, b):
     """Elementwise homomorphic accumulate of 'param'-sharded ElGamal pair
     arrays ((L, R) PointArrays) — add_rp_vec_vec under sharding."""
+    L, R = _sharded_pair_add_fn(mesh)(
+        tuple(a.L), tuple(a.R), tuple(b.L), tuple(b.R))
+    return type(a)(PointArray(*L), PointArray(*R))
+
+
+@lru_cache(maxsize=16)
+def _sharded_pair_add_fn(mesh: Mesh):
     spec = (PSpec(None, "param"),) * 4
 
     @partial(
@@ -157,8 +243,30 @@ def sharded_pair_add(mesh: Mesh, a, b):
             tuple(curve.add(PointArray(*aR), PointArray(*bR))),
         )
 
-    L, R = _run(tuple(a.L), tuple(a.R), tuple(b.L), tuple(b.R))
-    return type(a)(PointArray(*L), PointArray(*R))
+    return jax.jit(_run)
+
+
+@lru_cache(maxsize=8)
+def _sharded_bsgs_fn(mesh: Mesh, table_m: int, max_it: int):
+    """Cached shard_map walk — the TABLE IS AN OPERAND (replicated spec),
+    not a baked constant: re-creating the closure per call re-traced a
+    2 MB-constant graph every time (measured 215 s/call warm on the
+    virtual-CPU mesh; VERDICT r3 item 2's long pole)."""
+    from ..ops import bsgs
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(PSpec(), PSpec(), (PSpec(),) * 4,
+                  (PSpec(None, "param"),) * 4),
+        out_specs=(PSpec(None, "param"), PSpec("param")),
+        check_rep=False,
+    )
+    def _run(tk, tv, neg_coords, pts):
+        return bsgs.solve_with_table(
+            tk, tv, PointArray(*neg_coords), PointArray(*pts),
+            table_m, max_it)
+
+    return jax.jit(_run)
 
 
 def sharded_bsgs(mesh: Mesh, points: PointArray, table_m: int, n_bits: int):
@@ -167,17 +275,8 @@ def sharded_bsgs(mesh: Mesh, points: PointArray, table_m: int, n_bits: int):
     elementwise; no collectives)."""
     from ..ops import bsgs
 
-    bsgs.build_table(table_m)  # host-side table build before tracing
-
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=((PSpec(None, "param"),) * 4,),
-        out_specs=(PSpec(None, "param"), PSpec("param")),
-        check_rep=False,
-    )
-    def _run(pts):
-        # the sorted table rides into the traced program as a replicated
-        # constant (built once on host, lru-cached)
-        return bsgs.solve_discrete_log(PointArray(*pts), table_m, n_bits)
-
-    return _run(tuple(points))
+    keys_np, vals_np, _ = bsgs.build_table(table_m)  # host side, disk-cached
+    max_it = max(1, (1 << n_bits) // table_m)
+    run = _sharded_bsgs_fn(mesh, table_m, max_it)
+    return run(jnp.asarray(keys_np), jnp.asarray(vals_np),
+               bsgs.neg_mG_coords(table_m), tuple(points))

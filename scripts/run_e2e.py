@@ -21,14 +21,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+PLATFORM = "cpu"  # set from --platform; applied to EVERY subprocess
+
+
 def launch(name, args, logdir, env=None):
     os.makedirs(logdir, exist_ok=True)
     logpath = os.path.join(logdir, f"{name}.log")
     with open(logpath, "w") as out:
+        # Every child gets an explicit platform: without it the axon
+        # sitecustomize pins each one to the single real TPU chip and the
+        # whole experiment serializes over the tunnel (the round-2
+        # 415-1048 s/round trainer phases were exactly this).
         p = subprocess.Popen(
             [sys.executable, "-m", "rofl_tpu.cli"] + args,
             stdout=out, stderr=subprocess.STDOUT, cwd=REPO,
-            env={**os.environ, **(env or {})},
+            env={**os.environ, "JAX_PLATFORMS": PLATFORM, **(env or {})},
             start_new_session=True,
         )
     p.logpath = logpath
@@ -62,7 +69,11 @@ def main():
     ap.add_argument("--observer", action="store_true")
     ap.add_argument("--logdir", default="benchlog")
     ap.add_argument("--timeout", type=float, default=1800)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "axon"],
+                    help="JAX platform for every subprocess")
     args = ap.parse_args()
+    global PLATFORM
+    PLATFORM = args.platform
 
     import yaml
 
@@ -93,8 +104,7 @@ def main():
                           "--num-clients", str(n_clients)]
                 if intrinsic:
                     t_args += ["--intrinsic-dim", str(intrinsic)]
-                procs.append(launch(f"trainservice{i}", t_args, args.logdir,
-                                    env={"JAX_PLATFORMS": "cpu"}))
+                procs.append(launch(f"trainservice{i}", t_args, args.logdir))
             trainer_flag = ["-r", str(args.trainer_port),
                             "--numtrainers", str(args.trainers)]
             time.sleep(3)
@@ -104,7 +114,7 @@ def main():
                 "observer", "-a", "127.0.0.1", "-p", str(args.port),
                 "--model", model_name, "--dataset", dataset,
             ] + (["--intrinsic-dim", str(intrinsic)] if intrinsic else []),
-                args.logdir, env={"JAX_PLATFORMS": "cpu"}))
+                args.logdir))
 
         clients = launch("clients", [
             "clients", "-n", str(n_clients), "-a", "127.0.0.1",
