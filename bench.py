@@ -97,7 +97,11 @@ def main():
 
     # ---- stages 2+3: the L2 path (north star) --------------------------
     n_part = int(os.environ.get("ROFL_BENCH_PART", 16))
-    dims = os.environ.get("ROFL_BENCH_D", "4096,50000")
+    # one dim by default: stage 1 already guarantees an early parseable
+    # line, and the d=4096 L2 stage costs ~13 min of trace+cache-load on
+    # its own (measured warm, RESULTS_r4.md) without informing the
+    # headline — run it via ROFL_BENCH_D=4096,50000 when wanted
+    dims = os.environ.get("ROFL_BENCH_D", "50000")
     for d in [int(x) for x in dims.split(",") if x]:
         try:
             run_l2_path(P, pedersen, fp, d, n_part, reps, device)
