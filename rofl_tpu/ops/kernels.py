@@ -700,10 +700,91 @@ def _msm_bitplane_kernel(k_ref, px, py, pz, pt, ox, oy, oz, ot):
     _write_pt((ox, oy, oz, ot), p_unstack(acc))
 
 
+def _make_msm_window_kernel(W: int):
+    """W-bit windowed-Horner MSM partials ("Pippenger without buckets"):
+    per lane, precompute M_j = j·P for j = 1..2^W-1, then ceil(256/W)
+    windows of acc = 2^W·acc + Σ_lanes M_{digit}.
+
+    Why this beats the 1-bit bit-plane kernel: the per-(term, window)
+    cost is 2^W-1 coordinate SELECTS (a select is 64 where-ops ≈ 1% of a
+    point add) + ONE share of the masked tree reduction, so reductions —
+    the dominant cost — drop 253 → 256/W + (2^W-2)-amortized.  True
+    bucketed Pippenger would need per-lane scatter, which TPU vregs
+    cannot do; a binary select tree against precomputed multiples is the
+    vector-machine equivalent.  W is VMEM-bounded: the 2^W-1 multiples ×
+    4 coords × (16, T) u32 live on the kernel stack (w=4 at T=1024
+    overflows the 16 MB scoped VMEM)."""
+    assert 16 % W == 0, "window must not straddle the 16-bit limbs"
+    n_win = 256 // W
+
+    def kernel(k_ref, px, py, pz, pt, ox, oy, oz, ot):
+        T = px.shape[-1]
+        P = _read_pt((px, py, pz, pt))
+        ident = p_identity(P[0][0])
+
+        M = [ident, P]
+        for j in range(2, 1 << W):
+            M.append(p_double(M[j // 2]) if j % 2 == 0
+                     else p_add(M[j - 1], P))
+
+        def body(t, acc_st):
+            acc = p_unstack(acc_st)
+            wi = n_win - 1 - t
+            b = wi * W
+            limb_lo = k_ref[pl.ds(b >> 4, 1), :]
+            sh = (b & 15).astype(jnp.uint32)
+            digit = (limb_lo >> sh) & ((1 << W) - 1)
+            cands = M
+            for lvl in range(W):
+                bit = (digit >> lvl) & 1
+                cands = [p_select(bit == 1, cands[2 * i + 1], cands[2 * i])
+                         for i in range(len(cands) // 2)]
+            sel = cands[0]
+            w = T
+            while w > 128:
+                h = w // 2
+                left = tuple([r[:, :h] for r in c] for c in sel)
+                right = tuple([r[:, h:w] for r in c] for c in sel)
+                sel = p_add(left, right)
+                w = h
+            for _ in range(W):
+                acc = p_double(acc)
+            acc = p_add(acc, sel)
+            return p_stack(tuple(list(c) for c in acc))
+
+        acc0 = p_stack(p_identity(P[0][0][:, :128]))
+        acc = jax.lax.fori_loop(0, n_win, body, acc0)
+        _write_pt((ox, oy, oz, ot), p_unstack(acc))
+
+    return kernel
+
+
+def _msm_kernel():
+    w = int(os.environ.get("ROFL_MSM_W", "2"))
+    if w <= 1:
+        return _msm_bitplane_kernel
+    return _msm_window_kernel_cached(w)
+
+
+def _msm_tile(tile: int) -> int:
+    """Window kernels hold 2^W-1 multiples on the VMEM stack; w=4 at
+    T=1024 needs ~31 MB (>16 MB scoped limit), so cap the block at 256
+    lanes (~7.7 MB). Extra 128-wide partials cost only ~0.5 point-adds
+    per lane in the host-side tree_sum — far below the 64 adds/lane the
+    wider window saves."""
+    w = int(os.environ.get("ROFL_MSM_W", "2"))
+    return min(tile, int(os.environ.get("ROFL_MSM_TILE4", "256"))) if w >= 4 else tile
+
+
+@functools.lru_cache(maxsize=4)
+def _msm_window_kernel_cached(W: int):
+    return _make_msm_window_kernel(W)
+
+
 def _msm_partials(k, p, tile):
-    """Canonical-chunk bit-plane MSM partials: (16, lanes) → (16, lanes/
+    """Canonical-chunk windowed MSM partials: (16, lanes) → (16, lanes/
     (tile/128)) per-block 128-wide partial sums, order-preserving."""
-    return _chunked_pallas(_msm_bitplane_kernel, [k, *p], [NLIMB] * 5,
+    return _chunked_pallas(_msm_kernel(), [k, *p], [NLIMB] * 5,
                            [NLIMB] * 4, tile_cap=tile, out_width=128)
 
 
@@ -715,6 +796,7 @@ def msm_flat(p, k):
     n = p[0].shape[-1]
     k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
     m, _, tile = _plan(n)
+    tile = _msm_tile(tile)
     pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
     kk = _pad_lanes_to(k, m)  # zero scalars on the pad
     out = _msm_partials(kk, pp, tile)
@@ -737,6 +819,7 @@ def msm_groups(p, k, group: int):
     G = n // group
     if group >= TILE:
         m, _, tile = _plan(n)
+        tile = _msm_tile(tile)
         pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
         kk = _pad_lanes_to(k, m)
         out = _msm_partials(kk, pp, tile)
