@@ -102,17 +102,65 @@ def right_elem_is_identity(pairs: ElGamalPairArray) -> jnp.ndarray:
 
 def rnd_scalar_limbs(n: int, rng: np.random.Generator):
     """Uniform scalars mod l: 64 uniform bytes reduced wide, like
-    Scalar::random (pedersen_ops.rs rnd_scalar_vec). The wide reduction
-    runs on device when the Pallas backend is active (the host bigint loop
-    costs ~2.5 µs/element — real money at nm = 2^18)."""
+    Scalar::random (pedersen_ops.rs rnd_scalar_vec).
+
+    TPU path: the 64 bytes per lane are generated ON DEVICE by a keyed
+    Keccak-f[1600] XOF in counter mode (one batched permutation for all
+    lanes; key = 32 bytes drawn from the caller's rng), then wide-reduced
+    in the mod-l kernel. Shipping host randomness was the round-4 prove
+    pole: (n, 64) bytes as uint32 columns is 128 B/scalar through the
+    device tunnel — 134 MB (≈9 s) for one s_L/s_R draw at nm = 2^19.
+    Deterministic per rng seed (the key is the only entropy), so
+    same-seed reruns stay bit-identical. CPU path keeps the host spec
+    sampler (the virtual-mesh tests never move enough bytes to care)."""
     from ..ops import sc
     from ..ops.dispatch import use_pallas
 
-    raw = rng.integers(0, 256, size=(n, 64), dtype=np.uint8)
     if use_pallas():
-        cols = jnp.asarray(np.ascontiguousarray(raw.T).astype(np.uint32))
-        return sc.reduce_wide_bytes(cols)
+        key = jnp.asarray(
+            np.frombuffer(rng.bytes(32), np.uint8).astype(np.uint32))
+        return sc.reduce_wide_bytes(_xof_byte_cols(key, n))
+    raw = rng.integers(0, 256, size=(n, 64), dtype=np.uint8)
     return sc.from_bytes_wide_array(raw)
+
+
+@lru_cache(maxsize=1)
+def _xof_fn():
+    from functools import partial
+
+    import jax
+
+    from ..ops.keccak_batch import keccak_f1600
+
+    @partial(jax.jit, static_argnums=(1,))
+    def f(key_bytes: jnp.ndarray, n: int) -> jnp.ndarray:
+        """(32,) uint32 key byte values + static lane count → (64, n)
+        uint32 byte columns: one Keccak-f[1600] of
+        state = key ‖ counter ‖ domain-const per lane."""
+        key_words = jnp.zeros((8,), jnp.uint32)
+        for k in range(8):
+            w = (key_bytes[4 * k]
+                 | (key_bytes[4 * k + 1] << 8)
+                 | (key_bytes[4 * k + 2] << 16)
+                 | (key_bytes[4 * k + 3] << 24))
+            key_words = key_words.at[k].set(w)
+        state = jnp.zeros((50, n), jnp.uint32)
+        for k in range(8):  # lanes 0..3 = key
+            state = state.at[k].set(jnp.broadcast_to(key_words[k], (n,)))
+        ctr = jnp.arange(n, dtype=jnp.uint32)
+        state = state.at[8].set(ctr)                       # lane 4 lo
+        state = state.at[10].set(jnp.full((n,), np.uint32(0x4C464F52)))
+        state = state.at[11].set(jnp.full((n,), np.uint32(0x01)))
+        out = keccak_f1600(state)
+        return jnp.stack(
+            [(out[k // 4] >> np.uint32(8 * (k % 4))) & np.uint32(0xFF)
+             for k in range(64)])
+
+    return f
+
+
+def _xof_byte_cols(key_bytes: jnp.ndarray, n: int) -> jnp.ndarray:
+    return _xof_fn()(key_bytes, n)
 
 
 def cancelling_scalar_limbs(

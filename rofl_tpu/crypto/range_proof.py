@@ -53,6 +53,19 @@ def _tick(label, ref=[None]):
     ref[0] = now
 
 
+def _tick_sync(label, *arrays):
+    """Timing tick that first forces device completion via a tiny host
+    transfer (block_until_ready does not wait through the axon tunnel),
+    so per-phase device time attributes to the right phase."""
+    if not _TIMING:
+        return
+    for a in arrays:
+        if hasattr(a, "x"):
+            a = a.x
+        np.asarray(a[..., :1])
+    _tick(label)
+
+
 # -- generators --------------------------------------------------------------
 
 
@@ -408,15 +421,12 @@ def prove_multiple_batch(
     v_limbs = jnp.asarray(_u64_to_limbs(all_vals))
     gamma_limbs = jnp.asarray(blind_limbs)
     V = pedersen.pedersen_commit(v_limbs, gamma_limbs)
+    _tick_sync("batch V commit", V)
     V_bytes_all = _compress_bytes(V)
     _tick("batch V commit+compress")
     V_chunks = [V_bytes_all[g * m:(g + 1) * m] for g in range(G_n)]
-    for t, vbs in zip(transcripts, V_chunks):
-        t.append_message(b"dom-sep", b"rangeproof v1")
-        t.append_u64(b"n", n)
-        t.append_u64(b"m", m)
-        for vb in vbs:
-            _append_point(t, b"V", vb)
+    # the 2·G_n·m host STROBE absorbs (~1.6 s at nm=2^19) run AFTER the
+    # A/S device work is dispatched, hiding behind the S MSM — see below
 
     # bit vectors
     bits_np = ((all_vals[:, None] >> np.arange(n, dtype=np.uint64)) & 1
@@ -431,11 +441,13 @@ def prove_multiple_batch(
     terms = curve.select(bits == 1, gens_G_t, curve.neg(gens_H_t))
     A_pt = curve.add(pedersen.base_H().mul(jnp.asarray(a_blind)),
                      _tree_sum_groups(terms, nm, mesh))
+    _tick_sync("batch A term", A_pt)
 
     # S_g = H^s_blind_g + <s_L, G> + <s_R, H> (per group)
     s_blind = pedersen.rnd_scalar_limbs(G_n, rng)
     s_L = jnp.asarray(pedersen.rnd_scalar_limbs(L, rng)).reshape(16, G_n, nm)
     s_R = jnp.asarray(pedersen.rnd_scalar_limbs(L, rng)).reshape(16, G_n, nm)
+    _tick("batch s_L/s_R host rnd")
     bases_GH = _tile_points(
         PointArray(*[jnp.concatenate([g, h], axis=1)
                      for g, h in zip(gens_G, gens_H)]), G_n)
@@ -443,6 +455,17 @@ def prove_multiple_batch(
     S_pt = curve.add(
         pedersen.base_H().mul(jnp.asarray(s_blind)),
         _msm_grouped(bases_GH, s_cat, 2 * nm, mesh))
+    del terms, bases_GH, s_cat  # drop dead device buffers (HBM pressure)
+
+    # host Merlin V absorbs overlap the dispatched A/S device work
+    for t, vbs in zip(transcripts, V_chunks):
+        t.append_message(b"dom-sep", b"rangeproof v1")
+        t.append_u64(b"n", n)
+        t.append_u64(b"m", m)
+        for vb in vbs:
+            _append_point(t, b"V", vb)
+    _tick("batch V host absorbs")
+    _tick_sync("batch S msm", S_pt)
 
     AS_bytes = _compress_bytes(PointArray(*[
         jnp.concatenate([a, s], axis=1) for a, s in zip(A_pt, S_pt)
@@ -600,6 +623,7 @@ def _ipp_create_batch(
         wq_R = sc.mul(c_R, _consts(ws))
         R_pt = curve.add(R_sum, base_B.mul(wq_R))
 
+        _tick_sync(f"  ipp rnd s={s} msm", L_pt, R_pt)
         both = _compress_bytes(PointArray(*[
             jnp.concatenate([l, r], axis=1) for l, r in zip(L_pt, R_pt)
         ]))
@@ -623,16 +647,22 @@ def _ipp_create_batch(
             usq = [(u * u) % SS.L for u in us]
             uisq_yR = [((ui * ui) % SS.L) * yR % SS.L
                        for ui, yR in zip(u_invs, yRs)]
-            usq_flat = jnp.repeat(_consts(usq), h, axis=1)
-            uisq_flat = jnp.repeat(_consts(uisq_yR), h, axis=1)
-            Gc = _p3(curve.add(
-                _pflat(G_L), curve.scalar_mul(_pflat(G_R), usq_flat)
-            ), G_n, h)
-            Hc = _p3(curve.add(
-                _pflat(H_L), curve.scalar_mul(_pflat(H_R), uisq_flat)
-            ), G_n, h)
+            # ONE fused fold call for both bases: [Ĝ'|Ĥ'] = [Ĝ_L|Ĥ_L] +
+            # [u²|u⁻²y^-h]·[Ĝ_R|Ĥ_R] — halves the per-round dispatches
+            # and keeps the windowed smul kernel at full occupancy
+            scal = jnp.concatenate([
+                jnp.repeat(_consts(usq)[:, :, None], h, axis=2),
+                jnp.repeat(_consts(uisq_yR)[:, :, None], h, axis=2),
+            ], axis=2).reshape(16, -1)
+            folded = _p3(curve.add(
+                _pflat(_pconcat3(G_L, H_L)),
+                curve.scalar_mul(_pflat(_pconcat3(G_R, H_R)), scal),
+            ), G_n, 2 * h)
+            Gc = _pslice3(folded, slice(0, h))
+            Hc = _pslice3(folded, slice(h, 2 * h))
             gps = [(gp * ui) % SS.L for gp, ui in zip(gps, u_invs)]
             chs = [(c * u) % SS.L for c, u in zip(chs, us)]
+            _tick_sync(f"  ipp rnd s={s} folds", Gc, Hc)
         s = h
 
     a_fin = sc.unpack_scalars(np.asarray(a.reshape(16, G_n)))
@@ -916,10 +946,12 @@ def verify_multiple_batch(
             sc.mul(sc.powers(_const(z), m), _const((c * zz * rho) % SS.L))
         )
 
+    _tick("  rpverify: host transcripts+scalars")
     enc = np.stack([np.frombuffer(bb, np.uint8) for bb in decode_list])
     pts, valid = curve.decompress(jnp.asarray(fe.from_bytes_array(enc)))
     if not bool(np.all(np.asarray(valid))):
         return False
+    _tick("  rpverify: decompress")
 
     lg = len(items[0][1].ipp.L)
     stride = 4 + 2 * lg  # host-scalar block per chunk (before V columns)
@@ -945,7 +977,9 @@ def verify_multiple_batch(
     else:
         total = msm.msm(all_pts, all_scalars)
     ident = curve.identity((1,))
-    return bool(np.asarray(curve.eq(total, ident))[0])
+    ok = bool(np.asarray(curve.eq(total, ident))[0])
+    _tick("  rpverify: mega-msm")
+    return ok
 
 
 def verify_multiple(

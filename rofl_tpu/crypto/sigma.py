@@ -49,6 +49,74 @@ DOMAIN_SEP = (b"dom-sep", b"randomness proof v1")
 # happen per (label, shape).
 
 
+# -- mesh routing ------------------------------------------------------------
+#
+# The Σ batch is the per-param hot loop of Range/L2 mode (reference:
+# rand_proof_vec/mod.rs:30-33 rayon-maps a prover per parameter). Every op
+# in the cores below is ELEMENTWISE over the lane axis — per-lane lockstep
+# STROBE transcripts, fixed-base muls, response arithmetic — so the
+# TPU-native multi-chip path is explicit lane shardings: place each lane
+# operand with NamedSharding(mesh, P(None, 'param')) and let GSPMD
+# partition every op across the axis with ZERO collectives. A shard_map
+# wrapper would compute the identical partitioning but forces a fresh
+# monolithic retrace/compile per mesh (measured 408 s on XLA:CPU, round 3)
+# — for a purely elementwise program the sharding annotation IS the
+# explicit mesh path. Bit-identity at 1/2/4/8 devices is asserted by
+# tests/test_parallel_mesh.py.
+
+
+def _pad_lane_limbs(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(jnp.asarray(x), ((0, 0), (0, pad))) if pad else jnp.asarray(x)
+
+
+def _pad_lane_points(p: PointArray, pad: int) -> PointArray:
+    if not pad:
+        return p
+    zero = jnp.zeros((16, pad), jnp.uint32)
+    one = zero.at[0].set(1)
+    return PointArray(
+        jnp.concatenate([p.x, zero], axis=1),
+        jnp.concatenate([p.y, one], axis=1),
+        jnp.concatenate([p.z, one], axis=1),
+        jnp.concatenate([p.t, zero], axis=1),
+    )
+
+
+def _lane_put(mesh, pad: int, x):
+    """Pad a lane operand to the axis multiple (identity points / zero
+    scalars — inert, discarded on slice-back) and place it 'param'-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    sh = NamedSharding(mesh, PSpec(None, "param"))
+    if isinstance(x, PointArray):
+        return PointArray(*[jax.device_put(c, sh)
+                            for c in _pad_lane_points(x, pad)])
+    return jax.device_put(_pad_lane_limbs(x, pad), sh)
+
+
+def _lane_args(mesh, n: int, *args):
+    pad = (-n) % mesh.shape["param"] if mesh is not None else 0
+    if mesh is None:
+        return args
+    return tuple(_lane_put(mesh, pad, a) for a in args)
+
+
+def _slice_lanes(n: int, x):
+    if isinstance(x, ElGamalPairArray):
+        return ElGamalPairArray(_slice_lanes(n, x.L), _slice_lanes(n, x.R))
+    if isinstance(x, PointArray):
+        return PointArray(*[c[:, :n] for c in x])
+    return x[:, :n]
+
+
+def _maybe_slice(mesh, n: int, *outs):
+    if mesh is None or all(o.L.x.shape[1] == n if isinstance(o, ElGamalPairArray)
+                           else o.x.shape[1] == n if isinstance(o, PointArray)
+                           else o.shape[1] == n for o in outs):
+        return outs
+    return tuple(_slice_lanes(n, o) for o in outs)
+
+
 def _eg_byte_cols(pair: ElGamalPairArray) -> jnp.ndarray:
     return jnp.concatenate(
         [field_byte_cols(curve.compress(pair.L)), field_byte_cols(curve.compress(pair.R))],
@@ -114,6 +182,7 @@ def rand_proof_prove(
     rng: np.random.Generator,
     existing: PointArray | None = None,
     transcript_label: bytes = b"RandProof",
+    mesh=None,
 ) -> tuple[RandProofVec, ElGamalPairArray]:
     """create_randproof_vec(_existing) (rand_proof_vec/mod.rs:19-76)."""
     n = m.shape[1]
@@ -121,10 +190,13 @@ def rand_proof_prove(
     r_prime = _rand_scalars(n, rng)
     core = _rand_prove_core(transcript_label, existing is not None)
     ex = existing if existing is not None else curve.identity((n,))
+    m, r, m_prime, r_prime, ex = _lane_args(mesh, n, m, r, m_prime,
+                                            r_prime, ex)
     c, c_prime, z_m, z_r = core(
         pedersen.base_B().table, pedersen.base_H().table,
         m, r, m_prime, r_prime, ex,
     )
+    c, c_prime, z_m, z_r = _maybe_slice(mesh, n, c, c_prime, z_m, z_r)
     return RandProofVec(c_prime, z_m, z_r), c
 
 
@@ -158,12 +230,18 @@ def rand_proof_verify(
     proof: RandProofVec,
     c: ElGamalPairArray,
     transcript_label: bytes = b"RandProof",
+    mesh=None,
 ) -> jnp.ndarray:
     """Batched verify (rand_proof/mod.rs:64-85) → bool mask."""
-    return _rand_verify_core(transcript_label)(
+    n = proof.z_m.shape[1]
+    cL, cR, cpL, cpR, z_m, z_r = _lane_args(
+        mesh, n, c.L, c.R, proof.c_prime.L, proof.c_prime.R,
+        proof.z_m, proof.z_r)
+    ok = _rand_verify_core(transcript_label)(
         pedersen.base_B().table, pedersen.base_H().table,
-        c.L, c.R, proof.c_prime.L, proof.c_prime.R, proof.z_m, proof.z_r,
+        cL, cR, cpL, cpR, z_m, z_r,
     )
+    return ok[:n] if ok.shape[0] != n else ok
 
 
 # -- SquareRandProof ---------------------------------------------------------
@@ -239,18 +317,20 @@ def square_rand_proof_prove(
     rng: np.random.Generator,
     existing: PointArray | None = None,
     transcript_label: bytes = b"SquareRandProof",
+    mesh=None,
 ) -> tuple[SquareRandProofVec, SquareRandCommitVec]:
     """Batched SquareRandProof::prove(_existing)
     (square_rand_proof/party.rs:17-135)."""
     n = m.shape[1]
     core = _square_rand_prove_core(transcript_label, existing is not None)
     ex = existing if existing is not None else curve.identity((n,))
+    args = _lane_args(mesh, n, m, r1, r2, _rand_scalars(n, rng),
+                      _rand_scalars(n, rng), _rand_scalars(n, rng), ex)
     c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2 = core(
-        pedersen.base_B().table, pedersen.base_H().table,
-        m, r1, r2,
-        _rand_scalars(n, rng), _rand_scalars(n, rng), _rand_scalars(n, rng),
-        ex,
+        pedersen.base_B().table, pedersen.base_H().table, *args,
     )
+    c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2 = _maybe_slice(
+        mesh, n, c_eg, c_sq, c_prime, c_sq_prime, z_m, z_r1, z_r2)
     return (
         SquareRandProofVec(c_prime, c_sq_prime, z_m, z_r1, z_r2),
         SquareRandCommitVec(c_eg, c_sq),
@@ -297,14 +377,18 @@ def square_rand_proof_verify(
     proof: SquareRandProofVec,
     c: SquareRandCommitVec,
     transcript_label: bytes = b"SquareRandProof",
+    mesh=None,
 ) -> jnp.ndarray:
     """Batched verify (square_rand_proof/mod.rs:78-115)."""
-    return _square_rand_verify_core(transcript_label)(
-        pedersen.base_B().table, pedersen.base_H().table,
-        c.c.L, c.c.R, c.c_sq,
+    n = proof.z_m.shape[1]
+    args = _lane_args(
+        mesh, n, c.c.L, c.c.R, c.c_sq,
         proof.c_prime.L, proof.c_prime.R, proof.c_sq_prime,
-        proof.z_m, proof.z_r1, proof.z_r2,
+        proof.z_m, proof.z_r1, proof.z_r2)
+    ok = _square_rand_verify_core(transcript_label)(
+        pedersen.base_B().table, pedersen.base_H().table, *args,
     )
+    return ok[:n] if ok.shape[0] != n else ok
 
 
 # -- SquareProof (Pedersen-only) --------------------------------------------
@@ -371,17 +455,19 @@ def square_proof_prove(
     rng: np.random.Generator,
     existing: PointArray | None = None,
     transcript_label: bytes = b"SquareProof",
+    mesh=None,
 ) -> tuple[SquareProofVec, SquareCommitVec]:
     """Batched SquareProof::prove(_existing) (square_proof/party.rs)."""
     n = m.shape[1]
     core = _square_prove_core(transcript_label, existing is not None)
     ex = existing if existing is not None else curve.identity((n,))
+    args = _lane_args(mesh, n, m, r1, r2, _rand_scalars(n, rng),
+                      _rand_scalars(n, rng), _rand_scalars(n, rng), ex)
     c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2 = core(
-        pedersen.base_B().table, pedersen.base_H().table,
-        m, r1, r2,
-        _rand_scalars(n, rng), _rand_scalars(n, rng), _rand_scalars(n, rng),
-        ex,
+        pedersen.base_B().table, pedersen.base_H().table, *args,
     )
+    c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2 = _maybe_slice(
+        mesh, n, c_l, c_sq, c_l_prime, c_sq_prime, z_m, z_r1, z_r2)
     return SquareProofVec(c_l_prime, c_sq_prime, z_m, z_r1, z_r2), SquareCommitVec(
         c_l, c_sq
     )
@@ -422,9 +508,13 @@ def square_proof_verify(
     proof: SquareProofVec,
     c: SquareCommitVec,
     transcript_label: bytes = b"SquareProof",
+    mesh=None,
 ) -> jnp.ndarray:
-    return _square_verify_core(transcript_label)(
-        pedersen.base_B().table, pedersen.base_H().table,
-        c.c_l, c.c_sq, proof.c_l_prime, proof.c_sq_prime,
-        proof.z_m, proof.z_r1, proof.z_r2,
+    n = proof.z_m.shape[1]
+    args = _lane_args(
+        mesh, n, c.c_l, c.c_sq, proof.c_l_prime, proof.c_sq_prime,
+        proof.z_m, proof.z_r1, proof.z_r2)
+    ok = _square_verify_core(transcript_label)(
+        pedersen.base_B().table, pedersen.base_H().table, *args,
     )
+    return ok[:n] if ok.shape[0] != n else ok

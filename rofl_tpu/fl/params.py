@@ -241,7 +241,8 @@ class EncParamsRange:
 
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         ok_rand = bool(np.all(np.asarray(
-            sigma.rand_proof_verify(self.rand_proofs, self.enc_values))))
+            sigma.rand_proof_verify(self.rand_proofs, self.enc_values,
+                                    mesh=mesh))))
         if not ok_rand:
             return False
         num = int(round(self.enc_values.L.batch_shape[0] * self.check_percentage))
@@ -307,18 +308,25 @@ class EncParamsL2:
                    prove_range, cfg.l2_value_range, fp)
 
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
+        from ..crypto.range_proof import _tick
+        _tick(None)
         ok_sq = bool(np.all(np.asarray(
-            sigma.square_rand_proof_verify(self.square_proofs, self.enc_values))))
+            sigma.square_rand_proof_verify(self.square_proofs,
+                                           self.enc_values, mesh=mesh))))
+        _tick("L2 verify: squarerand sigma")
         if not ok_sq:
             return False
         if not RPV.verify_rangeproof(self.range_proofs, self.enc_values.c.L,
                                      self.fp, self.prove_range, rng,
                                      mesh=mesh):
             return False
+        _tick("L2 verify: rangeproof batch")
         c_sq_sum = curve.tree_sum(self.enc_values.c_sq)
         sum_pt = curve.unpack_points(c_sq_sum)[0]
-        return L2RP.verify_rangeproof_l2(self.square_range_proof, sum_pt,
-                                         self.l2_prove_range, rng)
+        ok = L2RP.verify_rangeproof_l2(self.square_range_proof, sum_pt,
+                                       self.l2_prove_range, rng)
+        _tick("L2 verify: l2 sum proof")
+        return ok
 
     def serialize(self) -> bytes:
         msg = pb.EncNormData(
@@ -456,7 +464,8 @@ class EncParamsL2Compressed:
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         sq_c = sigma.SquareCommitVec(self.enc_values.c.L, self.enc_values.c_sq)
         if not bool(np.all(np.asarray(
-                sigma.square_proof_verify(self.square_proofs, sq_c)))):
+                sigma.square_proof_verify(self.square_proofs, sq_c,
+                                          mesh=mesh)))):
             return False
         t = Transcript(b"CompressedRandProof")
         if not CRP.verify(t, self.rand_proof, self.enc_values.c):

@@ -72,17 +72,17 @@ def build_table(base: PointArray) -> PointArray:
     return tab  # coords shaped (16, 32, 256)
 
 
-@jax.jit
-def mul(table: PointArray, scalars: jnp.ndarray) -> PointArray:
-    """Batched fixed-base scalar mul: scalars (16, N) canonical → points.
-
-    One fori_loop over 32 windows (single compiled body): gather the
-    window's digit entry per element, accumulate with one batched add.
-    """
-    digits = jnp.stack(
+def _digits(scalars: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
         [scalars[k >> 1] >> 8 if k & 1 else scalars[k >> 1] & 0xFF
          for k in range(N_WINDOWS)]
     ).astype(jnp.int32)  # (32, N)
+
+
+@jax.jit
+def _mul_gather(table: PointArray, scalars: jnp.ndarray) -> PointArray:
+    """Gather formulation (CPU: XLA:CPU lowers minor-dim gathers well)."""
+    digits = _digits(scalars)
 
     def body(w, acc):
         d = digits[w]
@@ -100,6 +100,45 @@ def mul(table: PointArray, scalars: jnp.ndarray) -> PointArray:
     acc0 = curve.identity((n,))
     acc0 = PointArray(*[jnp.broadcast_to(c, (16, n)) for c in acc0])
     return jax.lax.fori_loop(0, N_WINDOWS, body, acc0)
+
+
+@jax.jit
+def _mul_mxu(table: PointArray, scalars: jnp.ndarray) -> PointArray:
+    """MXU formulation: TPUs have no per-lane gather, so each window's
+    digit lookup is a one-hot fp32 matmul (N, 256) @ (256, 64) over the
+    window's table slice (16 limbs × 4 coords). Exact: table limbs
+    < 2^16 fit the fp32 mantissa and a one-hot row sums one product.
+    The 31 batched accumulate adds ride the usual Pallas point-add."""
+    digits = _digits(scalars)
+    n = scalars.shape[1]
+    # (32, 256, 64) fp32: window-major digit tables, limbs×coords packed
+    tab_f = jnp.stack([table.x, table.y, table.z, table.t], axis=-1)
+    tab_f = tab_f.transpose(1, 2, 0, 3).reshape(
+        N_WINDOWS, 256, 64).astype(jnp.float32)
+
+    def body(w, acc):
+        oh = jax.nn.one_hot(digits[w], 256, dtype=jnp.float32)   # (N, 256)
+        tw = jax.lax.dynamic_index_in_dim(tab_f, w, axis=0, keepdims=False)
+        ent = jax.lax.dot(oh, tw,
+                          precision=jax.lax.Precision.HIGHEST)   # (N, 64)
+        ent = ent.astype(jnp.uint32).reshape(n, 16, 4)
+        entry = PointArray(*(ent[:, :, c].T for c in range(4)))
+        return curve.add(acc, entry)
+
+    acc0 = curve.identity((n,))
+    acc0 = PointArray(*[jnp.broadcast_to(c, (16, n)) for c in acc0])
+    return jax.lax.fori_loop(0, N_WINDOWS, body, acc0)
+
+
+def mul(table: PointArray, scalars: jnp.ndarray) -> PointArray:
+    """Batched fixed-base scalar mul: scalars (16, N) canonical → points.
+
+    One fori_loop over 32 windows (single compiled body): look up the
+    window's digit entry per element (MXU one-hot matmul on TPU, gather
+    on CPU), accumulate with one batched add."""
+    from .dispatch import use_pallas
+
+    return (_mul_mxu if use_pallas() else _mul_gather)(table, scalars)
 
 
 class FixedBase:

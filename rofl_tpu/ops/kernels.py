@@ -490,18 +490,78 @@ def _scalar_mul_kernel(k, px, py, pz, pt, ox, oy, oz, ot):
 
 
 
+def _make_smul_window_kernel(W: int):
+    """W-bit windowed per-lane scalar mul: per lane precompute the 2^W-1
+    small multiples (14 adds at W=4), then 256/W windows of W doublings +
+    a select-tree lookup + ONE add. vs the 1-bit ladder: adds drop
+    256 → 256/W + 2^W-2 while doublings stay 256 (they are per-lane, so
+    Horner cannot share them) — ~1.5× fewer point-ops at W=4. VMEM bounds
+    W exactly like the windowed MSM kernel (multiples live on the kernel
+    stack), so blocks cap at 256 lanes."""
+    assert 16 % W == 0
+    n_win = 256 // W
+
+    def kernel(k, px, py, pz, pt, ox, oy, oz, ot):
+        P = _read_pt((px, py, pz, pt))
+        ident = p_identity(P[0][0])
+        M = [ident, P]
+        for j in range(2, 1 << W):
+            M.append(p_double(M[j // 2]) if j % 2 == 0
+                     else p_add(M[j - 1], P))
+
+        def body(t, acc_st):
+            acc = p_unstack(acc_st)
+            wi = n_win - 1 - t
+            b = wi * W
+            limb = k[pl.ds(b >> 4, 1), :]
+            sh = (b & 15).astype(jnp.uint32)
+            digit = (limb >> sh) & ((1 << W) - 1)
+            cands = M
+            for lvl in range(W):
+                bit = (digit >> lvl) & 1
+                cands = [p_select(bit == 1, cands[2 * i + 1], cands[2 * i])
+                         for i in range(len(cands) // 2)]
+            for _ in range(W):
+                acc = p_double(acc)
+            acc = p_add(acc, cands[0])
+            return p_stack(tuple(list(c) for c in acc))
+
+        acc0 = p_stack(p_identity(P[0][0]))
+        acc = jax.lax.fori_loop(0, n_win, body, acc0)
+        _write_pt((ox, oy, oz, ot), p_unstack(acc))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=4)
+def _smul_window_kernel_cached(W: int):
+    return _make_smul_window_kernel(W)
+
+
+def _smul_kernel_and_tile():
+    # W=1 default: the W=4 windowed variant measured only +3% on the v5e
+    # (the 256 per-lane doublings dominate) while its kernel body costs
+    # 2-4 min of Mosaic compile PER GLUE SHAPE and pushed the d=50k prove
+    # over the TPU resource limit (RESULTS_r5.md) — not worth it.
+    w = int(os.environ.get("ROFL_SMUL_W", "1"))
+    if w <= 1:
+        return _scalar_mul_kernel, 512
+    return _smul_window_kernel_cached(w), 256
+
+
 @functools.partial(jax.jit, static_argnums=())
 def scalar_mul(p, k):
-    """Per-lane variable-base scalar mul: 256 shared doublings + masked
-    adds, all in VMEM (replaces 512 XLA ops with one kernel)."""
+    """Per-lane variable-base scalar mul: windowed in-VMEM ladder
+    (W=ROFL_SMUL_W, default 4; W=1 is the classic double-and-add)."""
     shapes = p[0].shape
     p = _pt_flat(p)
     n = p[0].shape[-1]
     k = jnp.broadcast_to(k.reshape(NLIMB, -1), (NLIMB, n))
-    m, _, tile = _plan(n, tile_cap=512)
+    kern, cap = _smul_kernel_and_tile()
+    m, _, tile = _plan(n, tile_cap=cap)
     pp = tuple(_pad_identity_to(c, i, m) for i, c in enumerate(p))
     kk = _pad_lanes_to(k, m)
-    out = _chunked_pallas(_scalar_mul_kernel, [kk, *pp], [NLIMB] * 5,
+    out = _chunked_pallas(kern, [kk, *pp], [NLIMB] * 5,
                           [NLIMB] * 4, tile_cap=tile)
     return tuple(c[:, :n].reshape(shapes) for c in out)
 

@@ -13,7 +13,8 @@ from rofl_tpu.spec.merlin import Transcript
 
 import pytest
 
-pytestmark = pytest.mark.slow
+# default tier (VERDICT r4 item 5): completes in tens of
+# seconds on 2 CPU cores with a warm cache — lockstep STROBE vs spec merlin at small N
 
 rng = np.random.default_rng(5)
 

@@ -20,7 +20,8 @@ from rofl_tpu.crypto.fp_codec import FpConfig
 from rofl_tpu.ops import sc
 from rofl_tpu.spec import scalar as SS
 
-pytestmark = pytest.mark.slow
+# default tier (VERDICT r4 item 5): completes in tens of
+# seconds on 2 CPU cores with a warm cache — FFI KATs + serde conformance: host-side codecs + small-N device ops
 
 FP = FpConfig(16, 7)
 FIX_MAX = FP.max_bits / FP.scale  # Fix::max_value().to_float()
@@ -192,7 +193,13 @@ def test_split_join_elgamal_and_squaretriple():
 def test_randproof_ffi_roundtrip_and_reject():
     vals = np.array([0.5, -0.25, 0.125, 0.75], np.float32)
     blind = B.create_random_blinding_vector(4)
-    ped, rand_c, proof = B.create_randproof(vals, blind)
+    # bindings32.rs:295-322: create returns (Vec<RandProof>,
+    # Vec<ElGamalPair>); verify_randproof (rs:324) takes the L and R point
+    # vectors SEPARATELY — the caller splits the pair blob
+    proof, pairs_blob = B.create_randproof(vals, blind)
+    pairs = sv.deserialize_eg_pair_vec(pairs_blob)
+    ped = sv.serialize_rp_vec(pairs.L)
+    rand_c = sv.serialize_rp_vec(pairs.R)
     assert B.verify_randproof(ped, rand_c, proof)
     # tamper: swap two pedersen commitments
     pts = sv.deserialize_rp_vec(ped)
@@ -207,7 +214,11 @@ def test_l2proof_ffi_and_bound_failures():
     b1 = B.create_random_blinding_vector(3)
     b2 = B.create_random_blinding_vector(3)
     blobs = B.create_l2proof(vals, b1, b2, 16, 1)
-    assert B.verify_l2proof(*blobs, prove_range=16)
+    # bindings32.rs create_l2proof returns (randproof, commits, range,
+    # square) while verify_l2proof (rs:507) takes commits FIRST — same
+    # argument swap the reference's Python caller performs
+    assert B.verify_l2proof(blobs[1], blobs[0], blobs[2], blobs[3],
+                            prove_range=16)
 
     # l2_range_proof_vec/mod.rs:357-373 — sum of squares exceeds the bound
     from rofl_tpu.crypto import l2_range_proof as L2RP

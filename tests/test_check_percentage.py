@@ -16,7 +16,8 @@ from rofl_tpu.crypto import pedersen
 from rofl_tpu.crypto.fp_codec import FpConfig
 from rofl_tpu.fl import params as P
 
-pytestmark = pytest.mark.slow
+# default tier (VERDICT r4 item 5): completes in tens of
+# seconds on 2 CPU cores with a warm cache — probabilistic-checking boundary: small-N prove/verify
 
 FP = FpConfig(16, 7)
 

@@ -109,3 +109,32 @@ def test_fp_square():
     assert fp32.precomp_bias == 7 and fp32.bsgs_n_bits == 16
     assert FP.default_bsgs_table_size == 1 << 16
     assert FpConfig(64, 7).precomp_bias == 0
+
+
+def test_device_xof_sampler():
+    """TPU-path scalar sampler (keyed Keccak XOF in counter mode,
+    crypto/pedersen.py rnd_scalar_limbs): deterministic per rng seed,
+    canonical mod-l output, distinct lanes. Runs the keccak+byte-expand
+    jit on CPU directly (the reduce runs through the jnp mod-l path)."""
+    from rofl_tpu.ops import sc as SC
+
+    key = np.frombuffer(np.random.default_rng(4).bytes(32), np.uint8)
+    cols_a = np.asarray(pedersen._xof_byte_cols(
+        jnp.asarray(key.astype(np.uint32)), 12))
+    cols_b = np.asarray(pedersen._xof_byte_cols(
+        jnp.asarray(key.astype(np.uint32)), 12))
+    assert np.array_equal(cols_a, cols_b)
+    assert cols_a.shape == (64, 12) and cols_a.max() <= 0xFF
+    # XOF bytes must match the spec Keccak-f permutation lane-by-lane
+    from rofl_tpu.spec.keccak import keccak_f1600 as spec_f
+    for lane in (0, 7, 11):
+        st = bytearray(200)
+        st[0:32] = bytes(key)
+        st[32:36] = int(lane).to_bytes(4, "little")
+        st[40:44] = (0x4C464F52).to_bytes(4, "little")
+        st[44:48] = (0x01).to_bytes(4, "little")
+        spec_f(st)
+        assert bytes(cols_a[:, lane].astype(np.uint8)) == bytes(st[:64])
+    limbs = SC._reduce_wide_bytes_jnp(jnp.asarray(cols_a))
+    ints = SC.unpack_scalars(np.asarray(limbs))
+    assert all(0 <= v < SS.L for v in ints) and len(set(ints)) == 12

@@ -86,6 +86,50 @@ def test_sharded_rangeproof_verify():
         assert rpv.verify_rangeproof(proofs, commits, FP, 8, rng, mesh=mesh)
 
 
+def test_sharded_sigma_bit_identical():
+    """Σ-plane mesh routing (VERDICT r4 missing #6): the batched
+    RandProof / SquareRandProof prove+verify with lane shardings over
+    'param' must emit bit-identical proofs to the single-device path —
+    including a lane count (d=50) that does NOT divide the axis, so the
+    inert-padding slice-back is exercised."""
+    from rofl_tpu.crypto import sigma
+
+    d = 50
+    m = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(5)))
+    r = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(6)))
+    r2 = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(7)))
+
+    ref_p, ref_c = sigma.rand_proof_prove(m, r, np.random.default_rng(11))
+    mesh = _mesh()
+    with mesh:
+        sh_p, sh_c = sigma.rand_proof_prove(
+            m, r, np.random.default_rng(11), mesh=mesh)
+        ok = sigma.rand_proof_verify(sh_p, sh_c, mesh=mesh)
+    assert bool(np.asarray(ok).all())
+    for a, b in [(ref_c.L, sh_c.L), (ref_c.R, sh_c.R),
+                 (ref_p.c_prime.L, sh_p.c_prime.L)]:
+        ab = curve.compress_to_bytes(a)
+        bb = curve.compress_to_bytes(b)
+        assert all(bytes(x) == bytes(y) for x, y in zip(ab, bb))
+    assert np.array_equal(np.asarray(ref_p.z_m), np.asarray(sh_p.z_m))
+    assert np.array_equal(np.asarray(ref_p.z_r), np.asarray(sh_p.z_r))
+
+    ref_sp, ref_sc = sigma.square_rand_proof_prove(
+        m, r, r2, np.random.default_rng(12))
+    with mesh:
+        sh_sp, sh_sc = sigma.square_rand_proof_prove(
+            m, r, r2, np.random.default_rng(12), mesh=mesh)
+        ok = sigma.square_rand_proof_verify(sh_sp, sh_sc, mesh=mesh)
+    assert bool(np.asarray(ok).all())
+    for a, b in [(ref_sc.c.L, sh_sc.c.L), (ref_sc.c_sq, sh_sc.c_sq),
+                 (ref_sp.c_sq_prime, sh_sp.c_sq_prime)]:
+        ab = curve.compress_to_bytes(a)
+        bb = curve.compress_to_bytes(b)
+        assert all(bytes(x) == bytes(y) for x, y in zip(ab, bb))
+    assert np.array_equal(np.asarray(ref_sp.z_m), np.asarray(sh_sp.z_m))
+    assert np.array_equal(np.asarray(ref_sp.z_r2), np.asarray(sh_sp.z_r2))
+
+
 def test_sharded_rangeproof_prove_bit_identical():
     """Prove-path sharding (VERDICT r3 item 4): the chunk-batched prover
     with its A/S and IPA L/R MSMs mesh-routed over 'param' must emit
