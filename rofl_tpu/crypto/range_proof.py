@@ -462,8 +462,7 @@ def prove_multiple_batch(
         t.append_message(b"dom-sep", b"rangeproof v1")
         t.append_u64(b"n", n)
         t.append_u64(b"m", m)
-        for vb in vbs:
-            _append_point(t, b"V", vb)
+        t.append_messages(b"V", vbs)
     _tick("batch V host absorbs")
     _tick_sync("batch S msm", S_pt)
 
@@ -855,16 +854,16 @@ def verify_multiple_batch(
     nm = n * m
     if m & (m - 1) or nm & (nm - 1):
         return False
+    lg = nm.bit_length() - 1
     gens_G, gens_H = device_bp_gens(n, m)
 
-    g_acc = None   # (16, nm) combined G coefficients
-    h_acc = None   # (16, nm) combined H coefficients
     B_scalar = 0
     Bb_scalar = 0
     decode_list: list[bytes] = []
     host_scalars: list[int] = []
-    value_cols = []  # device (16, m) columns per chunk
+    metas = []  # per-chunk host challenge bundle
 
+    # -- pass 1: HOST transcript replay only (bulk STROBE absorbs) -------
     for transcript, proof, V_bytes in items:
         if len(V_bytes) != m:
             return False
@@ -873,11 +872,10 @@ def verify_multiple_batch(
         transcript.append_message(b"dom-sep", b"rangeproof v1")
         transcript.append_u64(b"n", n)
         transcript.append_u64(b"m", m)
-        for vb in V_bytes:
-            # V may be the identity (zero value, zero blinding — the
-            # reference's pow2 padding relies on this; dalek PR #248
-            # explicitly allows it)
-            _append_point(transcript, b"V", vb)
+        # V may be the identity (zero value, zero blinding — the
+        # reference's pow2 padding relies on this; dalek PR #248
+        # explicitly allows it); bulk-absorbed in one native call
+        transcript.append_messages(b"V", V_bytes)
         if not _validate_and_append(transcript, b"A", proof.A):
             return False
         if not _validate_and_append(transcript, b"S", proof.S):
@@ -898,33 +896,28 @@ def verify_multiple_batch(
 
         c = int.from_bytes(rng.bytes(64), "little") % SS.L  # value combiner
 
-        vs = _ipp_verification_scalars(proof.ipp, nm, transcript)
-        if vs is None:
+        # ipp challenge replay (inner_product_proof.rs verification_scalars
+        # host part; the s vector is built batched below)
+        if len(proof.ipp.L) != lg or lg >= 32:
             return False
-        u_sq, u_inv_sq, s_vec = vs
+        transcript.append_message(b"dom-sep", b"ipp v1")
+        transcript.append_u64(b"n", nm)
+        challenges = []
+        for Lb, Rb in zip(proof.ipp.L, proof.ipp.R):
+            if not _validate_and_append(transcript, b"L", Lb):
+                return False
+            if not _validate_and_append(transcript, b"R", Rb):
+                return False
+            challenges.append(transcript.challenge_scalar(b"u"))
+        u_sq = [(u * u) % SS.L for u in challenges]
+        u_inv = [pow(u, SS.L - 2, SS.L) for u in challenges]
+        u_inv_sq = [(v * v) % SS.L for v in u_inv]
+        all_inv = 1
+        for v in u_inv:
+            all_inv = (all_inv * v) % SS.L
+
         a, b = proof.ipp.a, proof.ipp.b
         y_inv = pow(y, SS.L - 2, SS.L)
-
-        # g = ρ·(-z - a·s_i); h = ρ·(z + y^-i·(zz2_i - b·s_inv_i))
-        g = sc.mul(
-            sc.sub(jnp.broadcast_to(_const((SS.L - z) % SS.L), (16, nm)),
-                   sc.mul(s_vec, _const(a))),
-            _const(rho),
-        )
-        s_inv = jnp.flip(s_vec, axis=1)
-        y_inv_pows = sc.powers(_const(y_inv), nm)
-        h = sc.mul(
-            sc.add(
-                jnp.broadcast_to(_const(z), (16, nm)),
-                sc.mul(y_inv_pows,
-                       sc.sub(_zz2_vec(n, m, z, zz),
-                              sc.mul(s_inv, _const(b)))),
-            ),
-            _const(rho),
-        )
-        g_acc = g if g_acc is None else sc.add(g_acc, g)
-        h_acc = h if h_acc is None else sc.add(h_acc, h)
-
         basepoint_scalar = (
             w * (proof.t_x - a * b) + c * (_delta(n, m, y, z) - proof.t_x)
         ) % SS.L
@@ -942,9 +935,78 @@ def verify_multiple_batch(
             for k in [1, x, (c * x) % SS.L, (c * x * x) % SS.L]
             + u_sq + u_inv_sq
         ]
-        value_cols.append(
-            sc.mul(sc.powers(_const(z), m), _const((c * zz * rho) % SS.L))
-        )
+        metas.append(dict(rho=rho, y=y, z=z, zz=zz, c=c, a=a, b=b,
+                          y_inv=y_inv, u_sq=u_sq, all_inv=all_inv))
+
+    # -- pass 2: ALL chunks' scalar vectors batched on device ------------
+    # (was a per-chunk eager loop: ~25 small dispatches × n_chunks)
+    G_n = len(items)
+
+    def col(key):
+        return _consts([mt[key] for mt in metas])[:, :, None]  # (16, G, 1)
+
+    def bc(x):
+        return jnp.broadcast_to(x, (16, G_n, nm))
+
+    # s vector, doubling-concat with per-chunk u² columns
+    s_all = col("all_inv")
+    for j in range(lg):
+        usq_j = _consts([mt["u_sq"][(lg - 1) - j] for mt in metas])
+        s_all = jnp.concatenate(
+            [s_all, sc.mul(s_all, usq_j[:, :, None])], axis=2)
+    s_inv_all = jnp.flip(s_all, axis=2)
+
+    # batched powers by doubling: y^-i rows per chunk
+    yi_pows = sc.ones((G_n, 1))
+    cur = col("y_inv")
+    size = 1
+    while size < nm:
+        yi_pows = jnp.concatenate([yi_pows, sc.mul(yi_pows, cur)], axis=2)
+        cur = sc.mul(cur, cur)
+        size *= 2
+    yi_pows = yi_pows[:, :, :nm]
+
+    # zz2 rows per chunk: z²·z^j·2^i at k = j·n+i
+    z_pows = sc.ones((G_n, 1))
+    curz = col("z")
+    size = 1
+    while size < m:
+        z_pows = jnp.concatenate([z_pows, sc.mul(z_pows, curz)], axis=2)
+        curz = sc.mul(curz, curz)
+        size *= 2
+    z_pows = z_pows[:, :, :m]                      # (16, G, m)
+    two_pows = sc.powers(_const(2), n)             # (16, n)
+    zz2_all = sc.mul(
+        jnp.repeat(sc.mul(z_pows, col("zz")), n, axis=2),
+        jnp.tile(two_pows[:, None, :], (1, G_n, m)))
+
+    neg_z = _consts([(SS.L - mt["z"]) % SS.L for mt in metas])[:, :, None]
+    g_all = sc.mul(
+        sc.sub(bc(neg_z), sc.mul(s_all, col("a"))), col("rho"))
+    h_all = sc.mul(
+        sc.add(bc(col("z")),
+               sc.mul(yi_pows,
+                      sc.sub(zz2_all, sc.mul(s_inv_all, col("b"))))),
+        col("rho"))
+    # mod-l reduce over the chunk axis (log-halving, zero pad is inert)
+    for arr_name in ("g", "h"):
+        arr = g_all if arr_name == "g" else h_all
+        k = G_n
+        while k > 1:
+            half = k // 2
+            lo = sc.add(arr[:, :half], arr[:, half:2 * half])
+            arr = (jnp.concatenate([lo, arr[:, 2 * half:k]], axis=1)
+                   if k & 1 else lo)
+            k = half + (k & 1)
+        if arr_name == "g":
+            g_acc = arr.reshape(16, nm)
+        else:
+            h_acc = arr.reshape(16, nm)
+
+    czr = _consts([(mt["c"] * mt["zz"] % SS.L) * mt["rho"] % SS.L
+                   for mt in metas])[:, :, None]
+    value_cols_all = sc.mul(z_pows, czr)           # (16, G, m)
+    value_cols = [value_cols_all[:, g] for g in range(G_n)]
 
     _tick("  rpverify: host transcripts+scalars")
     enc = np.stack([np.frombuffer(bb, np.uint8) for bb in decode_list])

@@ -240,9 +240,13 @@ class EncParamsRange:
                    cfg.check_percentage, fp)
 
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
+        # Σ verify runs WITHOUT lane sharding here: the server calls this
+        # from its verification thread pool, and eager sharded dispatch
+        # off the main thread aborts in XLA (the mesh path is exercised
+        # directly by tests/test_parallel_mesh.py); the mesh still routes
+        # the range-proof mega-MSM below
         ok_rand = bool(np.all(np.asarray(
-            sigma.rand_proof_verify(self.rand_proofs, self.enc_values,
-                                    mesh=mesh))))
+            sigma.rand_proof_verify(self.rand_proofs, self.enc_values))))
         if not ok_rand:
             return False
         num = int(round(self.enc_values.L.batch_shape[0] * self.check_percentage))
@@ -310,9 +314,12 @@ class EncParamsL2:
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         from ..crypto.range_proof import _tick
         _tick(None)
-        ok_sq = bool(np.all(np.asarray(
-            sigma.square_rand_proof_verify(self.square_proofs,
-                                           self.enc_values, mesh=mesh))))
+        # randomized batch verification: one 6N-term MSM instead of ~4N
+        # per-lane ladders (sigma.py; per-lane blame not needed on the
+        # accept path). No lane sharding here — this runs on the server's
+        # verification thread pool (see EncParamsRange.verify note).
+        ok_sq = sigma.square_rand_proof_verify_batched(
+            self.square_proofs, self.enc_values, rng)
         _tick("L2 verify: squarerand sigma")
         if not ok_sq:
             return False
@@ -464,8 +471,7 @@ class EncParamsL2Compressed:
     def verify(self, rng: np.random.Generator, mesh=None) -> bool:
         sq_c = sigma.SquareCommitVec(self.enc_values.c.L, self.enc_values.c_sq)
         if not bool(np.all(np.asarray(
-                sigma.square_proof_verify(self.square_proofs, sq_c,
-                                          mesh=mesh)))):
+                sigma.square_proof_verify(self.square_proofs, sq_c)))):
             return False
         t = Transcript(b"CompressedRandProof")
         if not CRP.verify(t, self.rand_proof, self.enc_values.c):

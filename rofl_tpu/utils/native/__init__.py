@@ -36,6 +36,14 @@ def get_lib():
                 )
             lib = ctypes.CDLL(_SO)
             lib.keccak_f1600.argtypes = [ctypes.c_void_p]
+            lib.merlin_absorb_msgs.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_int,
+            ]
+            lib.merlin_absorb_msgs.restype = ctypes.c_int
             for fn in (lib.strobe_absorb, lib.strobe_overwrite, lib.strobe_squeeze):
                 fn.argtypes = [
                     ctypes.c_void_p,

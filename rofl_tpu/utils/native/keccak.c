@@ -119,3 +119,41 @@ int strobe_squeeze(uint8_t state[200], int pos, int *pos_begin_io,
   }
   return pos;
 }
+
+/* Bulk Merlin append_message loop: for each of `count` fixed-size
+ * messages, run the three STROBE ops merlin's append_message performs —
+ * meta_ad(label, more=false), meta_ad(u32le(msg_len), more=true),
+ * ad(msg, more=false) — entirely in C (one ctypes call per transcript
+ * instead of 3 per message; the verifier replays 2^16 point absorbs).
+ * Flags: meta_ad = M|A = 0x12, ad = A = 0x02; neither forces F. */
+int merlin_absorb_msgs(uint8_t state[200], int pos, int *pos_begin_io,
+                       const uint8_t *label, long label_len,
+                       const uint8_t *msgs, long msg_len, long count,
+                       int strobe_r) {
+  long i;
+  uint8_t hdr[2];
+  uint8_t len_le[4];
+  len_le[0] = (uint8_t)(msg_len & 0xff);
+  len_le[1] = (uint8_t)((msg_len >> 8) & 0xff);
+  len_le[2] = (uint8_t)((msg_len >> 16) & 0xff);
+  len_le[3] = (uint8_t)((msg_len >> 24) & 0xff);
+  for (i = 0; i < count; i++) {
+    /* begin_op(M|A): absorb [old_pos_begin, flags] */
+    hdr[0] = (uint8_t)(*pos_begin_io);
+    hdr[1] = 0x12;
+    *pos_begin_io = pos + 1;
+    pos = strobe_absorb(state, pos, pos_begin_io, hdr, 2, strobe_r);
+    pos = strobe_absorb(state, pos, pos_begin_io, label, label_len,
+                        strobe_r);
+    /* meta_ad(len, more=true): plain absorb, no new op */
+    pos = strobe_absorb(state, pos, pos_begin_io, len_le, 4, strobe_r);
+    /* begin_op(A) + message */
+    hdr[0] = (uint8_t)(*pos_begin_io);
+    hdr[1] = 0x02;
+    *pos_begin_io = pos + 1;
+    pos = strobe_absorb(state, pos, pos_begin_io, hdr, 2, strobe_r);
+    pos = strobe_absorb(state, pos, pos_begin_io, msgs + i * msg_len,
+                        msg_len, strobe_r);
+  }
+  return pos;
+}

@@ -70,3 +70,29 @@ def test_square_proof_roundtrip_and_fake():
     c_bad = sigma.SquareCommitVec(c.c_l, pedersen.pedersen_commit(m, r1))
     bad = np.asarray(sigma.square_proof_verify(proof, c_bad))
     assert not bad.any()
+
+
+def test_square_rand_batch_verify():
+    """Randomized batch verification (sigma.py): accepts honest vectors,
+    rejects a single tampered response — same transcript schedule as the
+    per-lane verifier."""
+    import jax.numpy as jnp
+
+    d = 12
+    r = np.random.default_rng(21)
+    m = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(1)))
+    r1 = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(2)))
+    r2 = jnp.asarray(pedersen.rnd_scalar_limbs(d, np.random.default_rng(3)))
+    proof, c = sigma.square_rand_proof_prove(m, r1, r2,
+                                            np.random.default_rng(4))
+    assert sigma.square_rand_proof_verify_batched(
+        proof, c, np.random.default_rng(5))
+    # per-lane verifier agrees
+    assert bool(np.asarray(sigma.square_rand_proof_verify(proof, c)).all())
+    # tamper one z_m limb → batch check must reject
+    bad = sigma.SquareRandProofVec(
+        proof.c_prime, proof.c_sq_prime,
+        proof.z_m.at[0, 3].set(proof.z_m[0, 3] ^ 1),
+        proof.z_r1, proof.z_r2)
+    assert not sigma.square_rand_proof_verify_batched(
+        bad, c, np.random.default_rng(6))

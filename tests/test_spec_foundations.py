@@ -282,3 +282,21 @@ def test_shifted_fixed_values_vectorized_matches_bigint():
                 SS.to_bytes(shifted)[: (fp.n_bits + 7) // 8], "little")
                 & fp.max_bits)
         assert [int(x) for x in got] == want
+
+
+def test_merlin_bulk_absorb_bit_identical():
+    """append_messages (one native call for N fixed-size messages) must
+    leave the transcript in exactly the state of N append_message calls."""
+    from rofl_tpu.spec.merlin import Transcript
+
+    msgs = [bytes([i % 256] * 32) for i in range(300)]  # spans several F calls
+    a = Transcript(b"bulk-test")
+    b = Transcript(b"bulk-test")
+    for m in msgs:
+        a.append_message(b"V", m)
+    b.append_messages(b"V", msgs)
+    assert a.challenge_bytes(b"c", 64) == b.challenge_bytes(b"c", 64)
+    # and interleaves correctly with later ops
+    a.append_message(b"x", b"tail")
+    b.append_message(b"x", b"tail")
+    assert a.challenge_bytes(b"d", 32) == b.challenge_bytes(b"d", 32)
